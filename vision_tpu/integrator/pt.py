@@ -1,0 +1,212 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native restructuring of the reference megakernel Li
+(`/root/reference/src/base/integral/integrator.cpp:160-311`): the per-pixel
+`$for` bounce loop becomes a `lax.fori_loop` over a whole wavefront of rays
+(every lane = one pixel sample), with masked lanes instead of divergent
+control flow. Per bounce:
+
+  trace closest -> [miss: env MIS, deactivate]
+               -> emissive-hit MIS (weight vs previous scatter pdf)
+               -> NEE: light sample + shadow ray + MIS combine
+               -> uber-BSDF sample -> RR (eta_scale-corrected) -> next ray
+
+MIS follows integrator.cpp: balance heuristic, delta lights pdf<0 convention,
+primary rays get scatter_pdf=1e16 (pt.cpp:73) so primary emission is
+unweighted.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng, warp
+from ..core.math import (dot, dotv, face_forward, normalize, safe_div,
+                         to_local, to_world, coordinate_system, cross,
+                         luminance)
+from ..core.types import Ray, Hit
+from ..accel import intersect as isect
+from ..shading import bsdf as ub
+from ..shading.materials import gather_params
+from ..lights import lights as lt
+
+RAY_OFFSET = 2e-4
+
+
+def trace_closest(scene, ray):
+    if scene.bvh is not None:
+        return isect.intersect_bvh(ray, scene.bvh)
+    return isect.intersect_brute(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
+
+
+def trace_occluded(scene, ray):
+    if scene.bvh is not None:
+        hit = isect.intersect_bvh(ray, scene.bvh, any_hit=True)
+        return hit.prim_id >= 0
+    return isect.occluded_brute(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
+
+
+def compute_interaction(scene, ray, hit):
+    """Surface interaction from a hit (geometry.cpp:79-166
+    compute_surface_interaction): barycentric lerp of position/uv/normal,
+    shading frame from shading normal."""
+    pid = jnp.maximum(hit.prim_id, 0)
+    b1 = hit.bary[..., 0]
+    b2 = hit.bary[..., 1]
+    b0 = 1.0 - b1 - b2
+    p0 = scene.tri_p0[pid]
+    e1 = scene.tri_e1[pid]
+    e2 = scene.tri_e2[pid]
+    pos = p0 + b1[..., None] * e1 + b2[..., None] * e2
+    ng = normalize(cross(e1, e2))
+    ns = normalize(b0[..., None] * scene.tri_n0[pid]
+                   + b1[..., None] * scene.tri_n1[pid]
+                   + b2[..., None] * scene.tri_n2[pid])
+    # degenerate vertex normals -> geometric
+    ns_ok = jnp.sum(ns * ns, -1) > 0.5
+    ns = jnp.where(ns_ok[..., None], ns, ng)
+    # align ns with ng hemisphere (reference keeps ng as orientation ref)
+    ns = face_forward(ns, ng)
+    uv = (b0[..., None] * scene.tri_uv0[pid]
+          + b1[..., None] * scene.tri_uv1[pid]
+          + b2[..., None] * scene.tri_uv2[pid])
+    inst = scene.tri_inst[pid]
+    mat_id = scene.inst_mat[inst]
+    light_id = scene.inst_light[inst]
+    return pos, ng, ns, uv, inst, mat_id, light_id
+
+
+def spawn_origin(pos, ng, w):
+    """Offset ray origin along the geometric normal (interaction.h
+    ray offset)."""
+    s = jnp.sign(dot(w, ng))[..., None]
+    return pos + ng * s * RAY_OFFSET
+
+
+def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
+             spectrum=None):
+    """Estimate L for a wavefront of rays. Returns (L [R, 3], aovs dict)."""
+    R = ray.origin.shape[0]
+    S = 3
+    L = jnp.zeros((R, S))
+    throughput = jnp.ones((R, S))
+    scatter_pdf = jnp.full((R,), 1e16)
+    active = jnp.ones((R,), bool)
+    eta_scale = jnp.ones((R,))
+    prev_ng = ray.direction
+    first_albedo = jnp.zeros((R, S))
+    first_normal = jnp.zeros((R, 3))
+
+    carry = dict(o=ray.origin, d=ray.direction, L=L, thr=throughput,
+                 spdf=scatter_pdf, act=active, eta=eta_scale, png=prev_ng,
+                 st=state, alb=first_albedo, nrm=first_normal)
+
+    def bounce(depth, c):
+        r = Ray.make(c["o"], c["d"])
+        hit = trace_closest(scene, r)
+        act = c["act"]
+        st = c["st"]
+        L = c["L"]
+        thr = c["thr"]
+
+        # ---------------- miss: environment ----------------
+        miss = act & hit.is_miss
+        env_L = lt.env_radiance(scene.lights, scene.atlas, c["d"])
+        env_pdf = lt.env_pdf_wi(scene.lights, c["d"])
+        w_env = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], env_pdf))
+        L = L + jnp.where(miss[..., None], thr * env_L * w_env[..., None], 0.0)
+
+        act = act & hit.is_hit
+        pos, ng, ns, uv, inst, mat_id, light_id = compute_interaction(scene, r, hit)
+        wo = -c["d"]
+
+        # ---------------- emissive hit MIS ----------------
+        Le, l_pdf = lt.eval_hit_area(scene.lights, light_id, hit.prim_id, None,
+                                     c["o"], pos, ng, uv, scene.atlas)
+        w_hit = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], l_pdf))
+        hit_light = act & (light_id >= 0)
+        L = L + jnp.where(hit_light[..., None], thr * Le * w_hit[..., None], 0.0)
+
+        # ---------------- material params + shading frame ----------------
+        params = gather_params(scene.materials, scene.atlas, mat_id, uv)
+        t, b = coordinate_system(ns)
+        wo_l = to_local(t, b, ns, wo)
+
+        # first-bounce AOVs
+        is_first = depth == 0
+        alb = jnp.where((is_first & act)[..., None],
+                        ub.albedo(params, wo_l), c["alb"])
+        nrm = jnp.where((is_first & act)[..., None], ns, c["nrm"])
+
+        # ---------------- NEE ----------------
+        st, u_sel = rng.next_1d(st)
+        st, u_l2 = rng.next_2d(st)
+        ls = lt.sample_wi(scene.lights, scene.atlas,
+                          (scene.tri_p0, scene.tri_e1, scene.tri_e2),
+                          pos, ns, u_sel, u_l2, scene.world_radius)
+        shadow_o = spawn_origin(pos, ng, ls.wi)
+        shadow_ray = Ray.make(shadow_o, ls.wi,
+                              t_max=ls.dist * (1.0 - 1e-3))
+        occ = trace_occluded(scene, shadow_ray)
+        wi_l_nee = to_local(t, b, ns, ls.wi)
+        nee_eval = ub.evaluate(params, wo_l, wi_l_nee)
+        f_nee = nee_eval.f * jnp.abs(wi_l_nee[..., 2])[..., None]
+        is_delta = ls.pdf < 0.0
+        l_pdf_pos = jnp.where(is_delta, -ls.pdf, ls.pdf)
+        w_nee = jnp.where(is_delta, 1.0, warp.mis_weight(l_pdf_pos, nee_eval.pdf))
+        nee_ok = act & jnp.logical_not(occ) & (l_pdf_pos > 0.0) & (nee_eval.pdf >= 0.0)
+        Ld = ls.L * f_nee * safe_div(w_nee, l_pdf_pos)[..., None]
+        L = L + jnp.where(nee_ok[..., None], thr * Ld, 0.0)
+
+        # ---------------- BSDF sample ----------------
+        st, bs = ub.sample(params, wo_l, st)
+        wi_world = to_world(t, b, ns, bs.wi)
+        f_cos = bs.ev.f * jnp.abs(bs.wi[..., 2])[..., None]
+        new_thr = thr * jnp.where(bs.valid[..., None],
+                                  f_cos * safe_div(1.0, bs.ev.pdf)[..., None],
+                                  0.0)
+        act = act & bs.valid & (jnp.max(new_thr, -1) > 0.0)
+
+        # ---------------- russian roulette (integrator.cpp:289-297) ------
+        eta = c["eta"] * bs.eta_scale
+        lum = jnp.max(thr, axis=-1)
+        st, u_rr = rng.next_1d(st)
+        do_rr = (eta * lum < rr_threshold) & (depth >= min_depth)
+        q = jnp.minimum(0.95, lum)
+        kill = do_rr & (q < u_rr)
+        new_thr = jnp.where((do_rr & jnp.logical_not(kill))[..., None],
+                            new_thr * safe_div(1.0, q)[..., None], new_thr)
+        act = act & jnp.logical_not(kill)
+
+        new_o = spawn_origin(pos, ng, wi_world)
+        return dict(o=new_o, d=wi_world, L=L, thr=new_thr,
+                    spdf=bs.ev.pdf, act=act, eta=eta, png=ng, st=st,
+                    alb=alb, nrm=nrm)
+
+    out = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    Lf = out["L"]
+    Lf = jnp.where(jnp.isfinite(Lf), Lf, 0.0)
+    return Lf, dict(albedo=out["alb"], normal=out["nrm"])
+
+
+def render_sample(scene, camera, filt, frame_index, max_depth=16, min_depth=0,
+                  rr_threshold=1.0):
+    """One sample per pixel (one 'frame' in reference terms). Returns
+    (radiance [H, W, 3], aovs)."""
+    W, H = camera.resolution
+    n = W * H
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    px = (pix % W).astype(jnp.float32)
+    py = (pix // W).astype(jnp.float32)
+    st = rng.seed(pix, jnp.uint32(frame_index))
+
+    st, u_film = rng.next_2d(st)
+    offset, fw = filt.sample(u_film)
+    p_film = jnp.stack([px + 0.5, py + 0.5], -1) + offset
+    st, u_lens = rng.next_2d(st)
+    ray = camera.generate_ray(p_film, u_lens)
+
+    L, aovs = radiance(scene, ray, st, max_depth, min_depth, rr_threshold)
+    L = L * fw[..., None]
+    img = L.reshape(H, W, 3)
+    return img, {k: v.reshape(H, W, -1) for k, v in aovs.items()}

@@ -1,0 +1,319 @@
+"""Scene: JSON description -> flat device SceneData.
+
+Replaces `/root/reference/src/base/mgr/scene.{h,cpp}` + `geometry.cpp`:
+instead of per-instance device buffers + BLAS/TLAS, everything flattens to
+world-space triangle soup (SoA) + id tables at load time. Load order mirrors
+Scene::init (scene.cpp:16-34): light_sampler -> spectrum -> materials ->
+sensor -> shapes (+ area-light emissions) -> integrator -> sampler.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import transform as xf
+from ..shading.materials import MaterialCompiler
+from ..lights.lights import LightBuilder
+from ..sensor.camera import Camera
+from ..sensor.filters import FilterSampler
+from ..accel.bvh import build_bvh
+from . import desc as dsc
+from . import shapes as shp
+from .texture import AtlasBuilder
+
+BRUTE_FORCE_MAX_TRIS = 2048
+
+
+@struct.dataclass
+class SceneData:
+    """Everything the kernels need, as one pytree (replicated across chips)."""
+    # geometry (world space)
+    tri_p0: jnp.ndarray    # [T, 3]
+    tri_e1: jnp.ndarray    # [T, 3]
+    tri_e2: jnp.ndarray    # [T, 3]
+    tri_n0: jnp.ndarray    # [T, 3] vertex normals
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray   # [T, 2]
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_inst: jnp.ndarray  # [T] int32
+    inst_mat: jnp.ndarray  # [I] int32
+    inst_light: jnp.ndarray  # [I] int32 (-1 = not emissive)
+    materials: object      # MaterialTable
+    lights: object         # LightTable
+    atlas: object          # TextureAtlas
+    bvh: object            # BVH or None
+    world_radius: jnp.ndarray
+
+
+class Scene:
+    """Host-side scene container (load + build)."""
+
+    def __init__(self, path_or_dict, scene_dir=None):
+        if isinstance(path_or_dict, (str, os.PathLike)):
+            self.scene_dir = scene_dir or os.path.dirname(os.path.abspath(path_or_dict))
+            raw = dsc.load_jsonc(path_or_dict)
+        else:
+            self.scene_dir = scene_dir or "."
+            raw = path_or_dict
+        self.raw = raw
+        self._build()
+
+    def _build(self):
+        raw = self.raw
+        self.atlas_builder = AtlasBuilder()
+        self.mat_compiler = MaterialCompiler(self.atlas_builder, self.scene_dir)
+
+        # ---- materials ----
+        for mdesc in raw.get("materials", []):
+            self.mat_compiler.compile(mdesc)
+
+        # ---- light sampler config ----
+        ls = raw.get("light_sampler", {})
+        ls_type = ls.get("type", "uniform")
+        ls_param = ls.get("param", {})
+        self.light_builder = LightBuilder(
+            sampler_type=ls_type,
+            env_prob=ls_param.get("env_prob", 0.5))
+
+        # ---- shapes -> world-space triangle soup ----
+        mesh_parts = []     # (TriMesh world, inst_id)
+        inst_mat, inst_light = [], []
+        pending_emissions = []  # (inst_id, emission_desc, tri_base, areas)
+        tri_base = 0
+        for sdesc in raw.get("shapes", []):
+            stype = sdesc.get("type", "quad")
+            p = sdesc.get("param", {})
+            mesh = shp.make_shape(stype, p, self.scene_dir)
+            m = xf.from_json(p.get("transform"))
+            world = mesh.transformed(m)
+            inst_id = len(inst_mat)
+            mat_name = p.get("material")
+            if isinstance(mat_name, dict):
+                mid = self.mat_compiler.compile(mat_name)
+            else:
+                mid = self.mat_compiler.get(mat_name) if mat_name else -1
+            inst_mat.append(mid)
+            inst_light.append(-1)
+            mesh_parts.append((world, inst_id))
+            if "emission" in p:
+                t0, t1, t2 = (world.positions[world.triangles[:, k]] for k in range(3))
+                areas = 0.5 * np.linalg.norm(np.cross(t1 - t0, t2 - t0), axis=-1)
+                pending_emissions.append((inst_id, p["emission"], tri_base, areas))
+            tri_base += world.num_triangles
+
+        # ---- lights ----
+        for ldesc in (raw.get("light_sampler", {}).get("param", {})
+                      .get("lights", [])):
+            self._add_light(ldesc, mesh_parts, inst_mat, inst_light,
+                            pending_emissions)
+        for inst_id, edesc, tb, areas in pending_emissions:
+            ep = dsc.ParameterSet(edesc.get("param", {}))
+            color = self._emission_color(ep)
+            lid = self.light_builder.add_area(
+                color, inst_id, tb, areas,
+                two_sided=ep.as_bool("two_sided", False))
+            inst_light[inst_id] = lid
+
+        # ---- flatten geometry ----
+        self.tri_arrays, self.inst_mat, self.inst_light = self._flatten(
+            mesh_parts, inst_mat, inst_light)
+
+        # ---- camera ----
+        cam = raw.get("camera", {})
+        cp = dsc.ParameterSet(cam.get("param", {}))
+        c2w = xf.from_json(cp.raw("transform"))
+        rc = cp.raw("radiance_collector", cp.raw("film", {})) or {}
+        rc_param = rc.get("param", {}) if isinstance(rc, dict) else {}
+        res = rc_param.get("resolution", [512, 512])
+        fb = raw.get("pipeline", {}).get("param", {}).get("frame_buffer", {})
+        if not rc_param and fb:
+            res = fb.get("param", {}).get("resolution", res)
+        self.resolution = (int(res[0]), int(res[1]))
+        self.camera = Camera.make(
+            c2w, cp.as_float("fov_y", 20.0), self.resolution,
+            lens_radius=cp.as_float("lens_radius", 0.0),
+            focal_distance=cp.as_float("focal_distance", 5.0))
+        tm = rc_param.get("tone_mapper", {})
+        self.tone_mapper = tm.get("type", "linear")
+        self.exposure = tm.get("param", {}).get("exposure", 1.0)
+
+        fdesc = cam.get("param", {}).get("filter", {"type": "box"})
+        self.filter = FilterSampler.make(fdesc.get("type", "box"),
+                                         fdesc.get("param", {}))
+
+        # ---- integrator / sampler / output ----
+        idesc = raw.get("integrator", {})
+        ip = dsc.ParameterSet(idesc.get("param", {}))
+        self.max_depth = ip.as_int("max_depth", 16)
+        self.min_depth = ip.as_int("min_depth", 0)
+        self.rr_threshold = ip.as_float("rr_threshold", 1.0)
+        self.sampler_spp = dsc.ParameterSet(
+            raw.get("sampler", {}).get("param", {})).as_int("spp", 1)
+        out = raw.get("output", {})
+        self.output_spp = int(out.get("spp", 0))
+        self.output_fn = out.get("fn", "output.png")
+
+        self.spectrum_type = raw.get("spectrum", {}).get("type", "srgb")
+
+        # ---- device data ----
+        self.atlas = self.atlas_builder.build()
+        self.material_table = self.mat_compiler.build()
+        self.light_table = self.light_builder.build()
+        self._build_device_geometry()
+
+    def _emission_color(self, ep):
+        kind, payload, _ = dsc.parse_slot(ep.raw("color", [1, 1, 1]))
+        color = payload if kind == "const" else [1.0, 1.0, 1.0]
+        color = list(color) + [color[-1]] * (3 - len(color))
+        sk, sp_, _ = dsc.parse_slot(ep.raw("scale", 1.0))
+        scale = sp_[0] if sk == "const" else 1.0
+        return [c * scale for c in color[:3]]
+
+    def _add_light(self, ldesc, mesh_parts, inst_mat, inst_light,
+                   pending_emissions):
+        lt = ldesc.get("type")
+        p = dsc.ParameterSet(ldesc.get("param", {}))
+        scale = p.as_float("scale", 1.0)
+
+        def color3(key="color", default=(1, 1, 1)):
+            kind, payload, _ = dsc.parse_slot(p.raw(key, list(default)))
+            if kind == "const":
+                c = payload + [payload[-1]] * (3 - len(payload))
+                return [v * scale for v in c[:3]], None
+            if kind == "image":
+                return [scale] * 3, payload
+            return [scale] * 3, None
+
+        if lt == "point":
+            c, _ = color3()
+            self.light_builder.add_point(c, p.as_float3("position"))
+        elif lt == "spot":
+            c, _ = color3()
+            self.light_builder.add_spot(c, p.as_float3("position"),
+                                        p.as_float3("direction", (0, 0, 1)),
+                                        p.as_float("angle", 45.0),
+                                        p.as_float("falloff", 10.0))
+        elif lt == "projector":
+            c, img = color3()
+            tex = -1
+            if img is not None:
+                try:
+                    tex = self.atlas_builder.add_image(
+                        os.path.join(self.scene_dir, img["fn"]),
+                        img.get("color_space", "srgb"))
+                except Exception as e:
+                    import warnings
+                    warnings.warn(f"projector texture missing: {e}")
+            o2w = xf.from_json(p.raw("o2w"))
+            self.light_builder.add_projector(c, o2w, p.as_float("angle", 30.0),
+                                             p.as_float("ratio", 1.0), tex)
+        elif lt == "spherical":
+            c, img = color3()
+            if img is None:
+                return
+            path = os.path.join(self.scene_dir, img["fn"])
+            from .texture import load_image
+            try:
+                image = load_image(path, img.get("color_space", "linear"))
+            except Exception as e:
+                import warnings
+                warnings.warn(f"skipping spherical light, asset missing: {e}")
+                return
+            tex = self.atlas_builder.add_image(path,
+                                               img.get("color_space", "linear"))
+            o2w = xf.from_json(p.raw("o2w"))
+            self.light_builder.add_spherical(c, o2w, tex, image)
+        elif lt == "directional":
+            c, _ = color3()
+            self.light_builder.add_directional(c, p.as_float3("direction", (0, -1, 0)))
+        elif lt == "area":
+            # standalone area light: builds its own quad geometry (area.cpp
+            # init_geometry)
+            c, _ = color3()
+            mesh = shp.make_quad(p.as_float("width", 1.0), p.as_float("height", 1.0))
+            o2w = xf.from_json(p.raw("o2w"))
+            world = mesh.transformed(o2w)
+            inst_id = len(inst_mat)
+            inst_mat.append(-1)
+            inst_light.append(-1)
+            tri_base = sum(m.num_triangles for m, _ in mesh_parts)
+            mesh_parts.append((world, inst_id))
+            t0, t1, t2 = (world.positions[world.triangles[:, k]] for k in range(3))
+            areas = 0.5 * np.linalg.norm(np.cross(t1 - t0, t2 - t0), axis=-1)
+            lid = self.light_builder.add_area(c, inst_id, tri_base, areas,
+                                              p.as_bool("two_sided", False))
+            inst_light[inst_id] = lid
+
+    def _flatten(self, mesh_parts, inst_mat, inst_light):
+        P0, E1, E2, N0, N1, N2, U0, U1, U2, TI = [], [], [], [], [], [], [], [], [], []
+        for world, inst_id in mesh_parts:
+            t = world.triangles
+            p0 = world.positions[t[:, 0]]
+            p1 = world.positions[t[:, 1]]
+            p2 = world.positions[t[:, 2]]
+            P0.append(p0)
+            E1.append(p1 - p0)
+            E2.append(p2 - p0)
+            N0.append(world.normals[t[:, 0]])
+            N1.append(world.normals[t[:, 1]])
+            N2.append(world.normals[t[:, 2]])
+            U0.append(world.uvs[t[:, 0]])
+            U1.append(world.uvs[t[:, 1]])
+            U2.append(world.uvs[t[:, 2]])
+            TI.append(np.full(len(t), inst_id, np.int32))
+        cat = lambda xs: np.concatenate(xs, 0) if xs else np.zeros((0, 3), np.float32)
+        tri = dict(
+            p0=cat(P0).astype(np.float32), e1=cat(E1).astype(np.float32),
+            e2=cat(E2).astype(np.float32),
+            n0=cat(N0).astype(np.float32), n1=cat(N1).astype(np.float32),
+            n2=cat(N2).astype(np.float32),
+            uv0=np.concatenate(U0, 0).astype(np.float32) if U0 else np.zeros((0, 2), np.float32),
+            uv1=np.concatenate(U1, 0).astype(np.float32) if U1 else np.zeros((0, 2), np.float32),
+            uv2=np.concatenate(U2, 0).astype(np.float32) if U2 else np.zeros((0, 2), np.float32),
+            inst=np.concatenate(TI, 0) if TI else np.zeros((0,), np.int32),
+        )
+        return tri, np.asarray(inst_mat, np.int32), np.asarray(inst_light, np.int32)
+
+    def _build_device_geometry(self):
+        t = self.tri_arrays
+        n_tris = len(t["p0"])
+        self.use_bvh = n_tris > BRUTE_FORCE_MAX_TRIS
+        bvh = None
+        if self.use_bvh:
+            tris = np.arange(n_tris * 3, dtype=np.int64).reshape(n_tris, 3)
+            verts = np.stack([t["p0"], t["p0"] + t["e1"], t["p0"] + t["e2"]],
+                             axis=1).reshape(-1, 3)
+            bvh = build_bvh(verts, tris)
+
+        p_all = np.concatenate([t["p0"], t["p0"] + t["e1"], t["p0"] + t["e2"]], 0)
+        if len(p_all):
+            center = 0.5 * (p_all.min(0) + p_all.max(0))
+            radius = float(np.linalg.norm(p_all - center, axis=-1).max())
+        else:
+            radius = 1.0
+
+        self.data = SceneData(
+            tri_p0=jnp.asarray(t["p0"]), tri_e1=jnp.asarray(t["e1"]),
+            tri_e2=jnp.asarray(t["e2"]),
+            tri_n0=jnp.asarray(t["n0"]), tri_n1=jnp.asarray(t["n1"]),
+            tri_n2=jnp.asarray(t["n2"]),
+            tri_uv0=jnp.asarray(t["uv0"]), tri_uv1=jnp.asarray(t["uv1"]),
+            tri_uv2=jnp.asarray(t["uv2"]),
+            tri_inst=jnp.asarray(t["inst"]),
+            inst_mat=jnp.asarray(self.inst_mat),
+            inst_light=jnp.asarray(self.inst_light),
+            materials=self.material_table,
+            lights=self.light_table,
+            atlas=self.atlas,
+            bvh=bvh,
+            world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
+        )
+
+
+def load_scene(path):
+    return Scene(path)

@@ -1,0 +1,219 @@
+"""Procedural shape generators + OBJ mesh loading (host-side, numpy).
+
+Replaces the reference shape plugins (`/root/reference/src/render_core/shape/
+{quad,cube,sphere,model}.cpp`). Geometry conventions match the reference:
+quad spans XZ with +Y normal, cube is 24-vert/12-tri with per-face normals,
+sphere is a lat-long tessellation. Everything is triangulated at load; kernels
+only ever see flat triangle arrays.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TriMesh:
+    """Host mesh: positions [V,3], normals [V,3], uvs [V,2], tris [T,3] int32."""
+    positions: np.ndarray
+    normals: np.ndarray
+    uvs: np.ndarray
+    triangles: np.ndarray
+
+    @property
+    def num_triangles(self):
+        return len(self.triangles)
+
+    def transformed(self, m):
+        from ..core import transform as xf
+        return TriMesh(
+            positions=xf.apply_points(m, self.positions).astype(np.float32),
+            normals=xf.apply_normals(m, self.normals).astype(np.float32),
+            uvs=self.uvs,
+            triangles=self.triangles,
+        )
+
+
+def make_quad(width=1.0, height=1.0):
+    """Quad in the XZ plane, +Y normal (quad.cpp)."""
+    w, h = width / 2.0, height / 2.0
+    P = np.array([[w, 0, h], [w, 0, -h], [-w, 0, h], [-w, 0, -h]], np.float32)
+    N = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    UV = np.array([[1, 1], [1, 0], [0, 1], [0, 0]], np.float32)
+    T = np.array([[0, 1, 2], [2, 1, 3]], np.int32)
+    return TriMesh(P, N, UV, T)
+
+
+def make_cube(x=1.0, y=None, z=None):
+    """Axis-aligned box, 24 verts with per-face normals (cube.cpp)."""
+    y = x if not y else y
+    z = y if not z else z
+    hx, hy, hz = x / 2.0, y / 2.0, z / 2.0
+    P = np.array([
+        [-hx, -hy, hz], [hx, -hy, hz], [-hx, hy, hz], [hx, hy, hz],      # +z
+        [-hx, hy, -hz], [hx, hy, -hz], [-hx, -hy, -hz], [hx, -hy, -hz],  # -z
+        [-hx, hy, hz], [hx, hy, hz], [-hx, hy, -hz], [hx, hy, -hz],      # +y
+        [-hx, -hy, hz], [hx, -hy, hz], [-hx, -hy, -hz], [hx, -hy, -hz],  # -y
+        [hx, -hy, hz], [hx, hy, hz], [hx, hy, -hz], [hx, -hy, -hz],      # +x
+        [-hx, -hy, hz], [-hx, hy, hz], [-hx, hy, -hz], [-hx, -hy, -hz],  # -x
+    ], np.float32)
+    face_normals = np.array(
+        [[0, 0, 1], [0, 0, -1], [0, 1, 0], [0, -1, 0], [1, 0, 0], [-1, 0, 0]],
+        np.float32)
+    N = np.repeat(face_normals, 4, axis=0)
+    UV = np.array([
+        [0, 0], [1, 0], [0, 1], [1, 1],
+        [0, 1], [1, 1], [0, 0], [1, 0],
+        [0, 1], [1, 1], [0, 0], [1, 0],
+        [0, 1], [1, 1], [0, 0], [1, 0],
+        [0, 1], [1, 1], [1, 0], [0, 0],
+        [0, 1], [1, 1], [1, 0], [0, 0],
+    ], np.float32)
+    T = np.array([
+        [0, 1, 3], [0, 3, 2],
+        [6, 5, 7], [4, 5, 6],
+        [10, 9, 11], [8, 9, 10],
+        [13, 14, 15], [13, 12, 14],
+        [18, 17, 19], [17, 16, 19],
+        [21, 22, 23], [20, 21, 23],
+    ], np.int32)
+    return TriMesh(P, N, UV, T)
+
+
+def make_sphere(radius=1.0, sub_div=60):
+    """Lat-long sphere matching sphere.cpp topology."""
+    theta_div = int(sub_div)
+    phi_div = 2 * theta_div
+    verts = [np.array([0.0, radius, 0.0])]
+    norms = [np.array([0.0, 1.0, 0.0])]
+    uvs = [np.array([0.0, 0.0])]
+    for i in range(1, theta_div):
+        v = i / theta_div
+        theta = np.pi * v
+        yv = radius * np.cos(theta)
+        r = radius * np.sin(theta)
+        for j in range(phi_div):
+            u = j / phi_div
+            phi = u * 2.0 * np.pi
+            p = np.array([np.cos(phi) * r, yv, np.sin(phi) * r])
+            verts.append(p)
+            norms.append(p / max(np.linalg.norm(p), 1e-20))
+            uvs.append(np.array([u, v]))
+    verts.append(np.array([0.0, -radius, 0.0]))
+    norms.append(np.array([0.0, -1.0, 0.0]))
+    uvs.append(np.array([0.0, 1.0]))
+
+    tris = []
+    for i in range(phi_div):
+        tris.append([0, (i + 1) % phi_div + 1, i + 1])
+    for i in range(theta_div - 2):
+        vs = 1 + i * phi_div
+        for j in range(phi_div):
+            if j != phi_div - 1:
+                tris.append([vs, vs + 1, vs + phi_div])
+                tris.append([vs + 1, vs + phi_div + 1, vs + phi_div])
+            else:
+                tris.append([vs, vs + 1 - phi_div, vs + phi_div])
+                tris.append([vs + 1 - phi_div, vs + 1, vs + phi_div])
+            vs += 1
+    ve = len(verts) - 1
+    for i in range(phi_div):
+        idx1 = i + 1
+        idx2 = (1 + i) % phi_div + 1
+        tris.append([ve, ve - idx2, ve - idx1])
+
+    return TriMesh(np.asarray(verts, np.float32), np.asarray(norms, np.float32),
+                   np.asarray(uvs, np.float32), np.asarray(tris, np.int32))
+
+
+def load_obj(path, smooth=True):
+    """Minimal Wavefront OBJ loader (v / vn / vt / f, polygon fan-triangulated).
+
+    Replaces the assimp importer for OBJ assets
+    (`/root/reference/src/importers/assimp/assimp_parser.h`). Returns one
+    merged TriMesh; missing normals are area-weighted vertex normals.
+    """
+    vs, vts, vns = [], [], []
+    out_pos, out_uv, out_nrm, tris = [], [], [], []
+    cache = {}
+
+    def emit(tok):
+        if tok in cache:
+            return cache[tok]
+        parts = tok.split("/")
+        vi = int(parts[0])
+        vi = vi - 1 if vi > 0 else len(vs) + vi
+        ti = ni = -1
+        if len(parts) > 1 and parts[1]:
+            ti = int(parts[1])
+            ti = ti - 1 if ti > 0 else len(vts) + ti
+        if len(parts) > 2 and parts[2]:
+            ni = int(parts[2])
+            ni = ni - 1 if ni > 0 else len(vns) + ni
+        idx = len(out_pos)
+        out_pos.append(vs[vi])
+        out_uv.append(vts[ti] if ti >= 0 else (0.0, 0.0))
+        out_nrm.append(vns[ni] if ni >= 0 else (0.0, 0.0, 0.0))
+        cache[tok] = idx
+        return idx
+
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                vs.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("vt "):
+                p = line.split()
+                vts.append((float(p[1]), float(p[2])))
+            elif line.startswith("vn "):
+                p = line.split()
+                vns.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("f "):
+                toks = line.split()[1:]
+                idxs = [emit(t) for t in toks]
+                for k in range(1, len(idxs) - 1):
+                    tris.append([idxs[0], idxs[k], idxs[k + 1]])
+
+    P = np.asarray(out_pos, np.float32)
+    N = np.asarray(out_nrm, np.float32)
+    UV = np.asarray(out_uv, np.float32)
+    T = np.asarray(tris, np.int32)
+
+    if smooth and (len(N) == 0 or not np.any(np.abs(N).sum(-1) > 0)):
+        N = np.zeros_like(P)
+        p0, p1, p2 = P[T[:, 0]], P[T[:, 1]], P[T[:, 2]]
+        fn = np.cross(p1 - p0, p2 - p0)  # area-weighted
+        for k in range(3):
+            np.add.at(N, T[:, k], fn)
+        N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+    return TriMesh(P, N, UV, T)
+
+
+def load_model(path, **kw):
+    """Dispatch by extension. OBJ native; other formats via trimesh-free
+    fallbacks can be added (gltf/ply)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        return load_obj(path, **kw)
+    raise ValueError(f"unsupported mesh format: {ext}")
+
+
+def make_shape(stype, params, scene_dir="."):
+    """Shape factory keyed by the JSON `type` (reference plugin names)."""
+    if stype == "quad":
+        return make_quad(params.get("width", 1.0), params.get("height", 1.0))
+    if stype in ("quad_y", "quady"):
+        m = make_quad(params.get("width", 1.0), params.get("height", 1.0))
+        return m
+    if stype == "cube":
+        return make_cube(params.get("x", 1.0), params.get("y", 0) or None,
+                         params.get("z", 0) or None)
+    if stype == "sphere":
+        return make_sphere(params.get("radius", 1.0), params.get("sub_div", 60))
+    if stype == "model":
+        fn = params.get("fn")
+        return load_model(os.path.join(scene_dir, fn),
+                          smooth=params.get("smooth", True))
+    raise ValueError(f"unknown shape type: {stype}")

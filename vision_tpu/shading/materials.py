@@ -1,0 +1,390 @@
+"""Material compilation: JSON material descs -> flat material table rows.
+
+Replaces the reference material plugin constructors
+(`/root/reference/src/render_core/material/*.cpp`): each material type maps to
+parameters of the uber-BSDF (see bsdf.py). The table is SoA over material id;
+at shade time rows are gathered by per-lane mat_id and textured slots are
+resolved against the texture atlas — the TPU equivalent of
+`Polymorphic<Material>.dispatch`.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..scene.desc import ParameterSet, parse_slot
+from ..spectra import spd
+from . import bsdf
+from . import fresnel as frs
+from .microfacet import calculate_alpha, roughness_to_alpha
+
+
+@struct.dataclass
+class MaterialTable:
+    """[M, ...] rows of uber-BSDF parameters + texture slot ids (-1 = const)."""
+    kd: jnp.ndarray          # [M, 3]
+    kd_tex: jnp.ndarray      # [M]
+    sigma: jnp.ndarray
+    diffuse_kind: jnp.ndarray
+    diffuse_weight: jnp.ndarray
+    spec_tint: jnp.ndarray   # [M, 3]
+    spec_tex: jnp.ndarray
+    ax: jnp.ndarray
+    ay: jnp.ndarray
+    rough_tex: jnp.ndarray   # scalar roughness texture (remapped at runtime)
+    rough_remap: jnp.ndarray
+    anisotropic: jnp.ndarray
+    fr_mode: jnp.ndarray
+    eta: jnp.ndarray         # [M] scalar dielectric ior (RGB mode)
+    eta3: jnp.ndarray        # [M, 3]
+    k3: jnp.ndarray          # [M, 3]
+    spec_weight: jnp.ndarray
+    trans_weight: jnp.ndarray
+    cc_weight: jnp.ndarray
+    cc_alpha: jnp.ndarray
+    sheen_weight: jnp.ndarray
+    sheen_tint: jnp.ndarray  # [M, 3]
+    flatness: jnp.ndarray
+    metallic: jnp.ndarray
+    dispersive_id: jnp.ndarray  # index into glass curve registry (-1 none)
+
+
+def _default_row():
+    return dict(
+        kd=[0.0, 0.0, 0.0], kd_tex=-1, sigma=0.0, diffuse_kind=bsdf.DIFF_LAMBERT,
+        diffuse_weight=0.0,
+        spec_tint=[1.0, 1.0, 1.0], spec_tex=-1,
+        ax=1e-4, ay=1e-4, rough_tex=-1, rough_remap=1, anisotropic=0.0,
+        fr_mode=frs.FR_DIELECTRIC, eta=1.5,
+        eta3=[1.0, 1.0, 1.0], k3=[0.0, 0.0, 0.0],
+        spec_weight=0.0, trans_weight=0.0,
+        cc_weight=0.0, cc_alpha=0.01,
+        sheen_weight=0.0, sheen_tint=[0.0, 0.0, 0.0],
+        flatness=0.0, metallic=0.0,
+        dispersive_id=-1,
+    )
+
+
+class MaterialCompiler:
+    """Accumulates material rows; dedups by name."""
+
+    def __init__(self, atlas_builder, scene_dir="."):
+        self.rows = []
+        self.by_name = {}
+        self.atlas = atlas_builder
+        self.scene_dir = scene_dir
+
+    # ---- slot helpers ----
+
+    def _slot_rgb(self, pset, key, default):
+        """Resolve a color slot -> (rgb const [3], tex_id)."""
+        if key not in pset:
+            return list(default), -1
+        kind, payload, _ = parse_slot(pset.raw(key))
+        if kind == "const":
+            v = payload + [payload[-1]] * (3 - len(payload))
+            return [float(v[0]), float(v[1]), float(v[2])], -1
+        if kind == "image":
+            import os
+            fn = payload.get("fn")
+            cs = payload.get("color_space", "srgb")
+            try:
+                tex = self.atlas.add_image(os.path.join(self.scene_dir, fn), cs)
+            except Exception as e:
+                import warnings
+                warnings.warn(f"texture load failed ({fn}): {e}; using white")
+                return [1.0, 1.0, 1.0], -1
+            return [1.0, 1.0, 1.0], tex
+        # calculation nodes: approximate with white constant for now
+        return [1.0, 1.0, 1.0], -1
+
+    def _slot_scalar(self, pset, key, default):
+        if key not in pset:
+            return float(default), -1
+        kind, payload, _ = parse_slot(pset.raw(key))
+        if kind == "const":
+            return float(payload[0]), -1
+        if kind == "image":
+            import os
+            fn = payload.get("fn")
+            try:
+                tex = self.atlas.add_image(os.path.join(self.scene_dir, fn), "linear")
+            except Exception:
+                return float(default), -1
+            return float(default), tex
+        return float(default), -1
+
+    def _slot_rough2(self, pset, key, default):
+        """Roughness may be scalar or [rx, ry] (glass.cpp)."""
+        v = pset.raw(key, default)
+        kind, payload, _ = parse_slot(v)
+        if kind == "const":
+            if len(payload) >= 2:
+                return float(payload[0]), float(payload[1]), -1
+            return float(payload[0]), float(payload[0]), -1
+        if kind == "image":
+            import os
+            try:
+                tex = self.atlas.add_image(
+                    os.path.join(self.scene_dir, payload.get("fn")), "linear")
+            except Exception:
+                return float(default), float(default), -1
+            return float(default), float(default), tex
+        return float(default), float(default), -1
+
+    # ---- compile entry ----
+
+    def compile(self, desc):
+        """Compile one material desc; returns material id."""
+        name = desc.get("name")
+        if name and name in self.by_name:
+            return self.by_name[name]
+        row = self._compile_row(desc)
+        mid = len(self.rows)
+        self.rows.append(row)
+        if name:
+            self.by_name[name] = mid
+        return mid
+
+    def get(self, name):
+        return self.by_name.get(name, -1)
+
+    def _alpha_from(self, pset, lo=0.0001):
+        rx, ry, rtex = self._slot_rough2(pset, "roughness", 0.5)
+        aniso = self._slot_scalar(pset, "anisotropic", 0.0)[0]
+        aniso = float(np.clip(aniso, -0.9, 0.9))
+        remap = pset.as_bool("remapping_roughness", True)
+        rx = float(np.clip(rx, lo, 1.0))
+        ry = float(np.clip(ry, lo, 1.0))
+        if remap:
+            ax_s, ay_s = roughness_to_alpha(rx), roughness_to_alpha(ry)
+        else:
+            ax_s, ay_s = rx, ry
+        if abs(aniso) > 1e-4 and rx == ry:
+            ax_s, ay_s = calculate_alpha(np.float32(ax_s), np.float32(aniso))
+            ax_s, ay_s = float(ax_s), float(ay_s)
+        return max(ax_s, 1e-6), max(ay_s, 1e-6), rtex, (1 if remap else 0), aniso
+
+    def _compile_row(self, desc):
+        mtype = desc.get("type", "diffuse")
+        p = ParameterSet(desc.get("param", {}))
+        row = _default_row()
+        fn = getattr(self, f"_mat_{mtype}", None)
+        if fn is None:
+            # unknown material -> grey diffuse
+            row.update(diffuse_weight=1.0, kd=[0.5, 0.5, 0.5])
+            return row
+        fn(row, p)
+        return row
+
+    # ---- per-type compilers (cite: render_core/material/<type>.cpp) ----
+
+    def _mat_diffuse(self, row, p):
+        kd, tex = self._slot_rgb(p, "color", [0.5, 0.5, 0.5])
+        row.update(kd=kd, kd_tex=tex, diffuse_weight=1.0,
+                   sigma=self._slot_scalar(p, "sigma", 0.0)[0])
+
+    def _mat_mirror(self, row, p):
+        tint, tex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        ax, ay, rtex, remap, aniso = self._alpha_from(p)
+        row.update(spec_tint=tint, spec_tex=tex, ax=ax, ay=ay, rough_tex=rtex,
+                   rough_remap=remap, anisotropic=aniso,
+                   fr_mode=frs.FR_CONSTANT, spec_weight=1.0)
+
+    def _mat_metal(self, row, p):
+        name = p.as_str("material_name", "Ag")
+        eta, k = spd.metal_ior_rgb(name)
+        ax, ay, rtex, remap, aniso = self._alpha_from(p)
+        row.update(fr_mode=frs.FR_CONDUCTOR, eta3=list(map(float, eta)),
+                   k3=list(map(float, k)), ax=ax, ay=ay, rough_tex=rtex,
+                   rough_remap=remap, anisotropic=aniso, spec_weight=1.0)
+
+    def _mat_metallic(self, row, p):
+        color, tex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        edge, _ = self._slot_rgb(p, "edge_tint", [1.0, 1.0, 1.0])
+        ax, ay, rtex, remap, aniso = self._alpha_from(p, lo=0.01)
+        f0 = np.asarray(color, np.float32)
+        b = frs.f82_b_from_edge_tint(f0, np.asarray(edge, np.float32))
+        row.update(fr_mode=frs.FR_F82, eta3=list(map(float, f0)),
+                   k3=list(map(float, np.asarray(b))), spec_tex=tex,
+                   ax=ax, ay=ay, rough_tex=rtex, rough_remap=remap,
+                   anisotropic=aniso, spec_weight=1.0)
+
+    def _mat_glass(self, row, p):
+        tint, tex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        name = p.as_str("material_name", "")
+        if name:
+            eta = spd.glass_ior_scalar(name)
+            disp = spd.GLASS_NAMES.index(name if name in spd.GLASS_NAMES else "BK7")
+        else:
+            eta = self._slot_scalar(p, "ior", 1.5)[0]
+            disp = -1
+        ax, ay, rtex, remap, aniso = self._alpha_from(p, lo=0.01)
+        row.update(spec_tint=tint, spec_tex=tex, fr_mode=frs.FR_DIELECTRIC,
+                   eta=float(eta), ax=ax, ay=ay, rough_tex=rtex,
+                   rough_remap=remap, anisotropic=aniso,
+                   spec_weight=1.0, trans_weight=1.0, dispersive_id=disp)
+
+    def _mat_substrate(self, row, p):
+        kd, kdtex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        rs, _ = self._slot_rgb(p, "spec", [0.05, 0.05, 0.05])
+        ax, ay, rtex, remap, aniso = self._alpha_from(p)
+        # substrate.cpp double-remaps alpha (alpha = (roughness^2)^2)
+        if remap:
+            ax, ay = ax * ax, ay * ay
+        ax, ay = float(np.clip(ax, 1e-4, 1.0)), float(np.clip(ay, 1e-4, 1.0))
+        row.update(kd=kd, kd_tex=kdtex, diffuse_kind=bsdf.DIFF_FRESNEL_BLEND,
+                   diffuse_weight=1.0, eta3=rs, fr_mode=frs.FR_SCHLICK,
+                   ax=ax, ay=ay, rough_tex=rtex, rough_remap=remap,
+                   anisotropic=aniso, spec_weight=1.0, eta=1.5)
+
+    def _mat_plastic(self, row, p):
+        kd, kdtex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        rs, _ = self._slot_rgb(p, "spec", [0.05, 0.05, 0.05])
+        ior = self._slot_scalar(p, "ior", 1.3)[0]
+        ax, ay, rtex, remap, aniso = self._alpha_from(p)
+        if remap:  # plastic.cpp also double-remaps
+            ax, ay = ax * ax, ay * ay
+        ax, ay = float(np.clip(ax, 1e-4, 1.0)), float(np.clip(ay, 1e-4, 1.0))
+        f0 = float(frs.schlick_F0_from_ior(np.float32(ior)))
+        row.update(kd=kd, kd_tex=kdtex, diffuse_weight=1.0,
+                   fr_mode=frs.FR_SCHLICK,
+                   eta3=[f0 * rs[0], f0 * rs[1], f0 * rs[2]],
+                   ax=ax, ay=ay, rough_tex=rtex, rough_remap=remap,
+                   anisotropic=aniso, spec_weight=1.0, eta=float(ior))
+
+    def _mat_principled_bsdf(self, row, p):
+        """Disney-style uber material (principled_bsdf.cpp)."""
+        kd, kdtex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        ior = self._slot_scalar(p, "ior", 1.5)[0]
+        metallic = self._slot_scalar(p, "metallic", 0.0)[0]
+        spec_trans = self._slot_scalar(p, "spec_trans", 0.0)[0]
+        sheen = self._slot_scalar(p, "sheen", 0.0)[0]
+        sheen_tint = self._slot_scalar(p, "sheen_tint", 0.0)[0]
+        cc = self._slot_scalar(p, "clearcoat", 0.0)[0]
+        cc_alpha = self._slot_scalar(p, "clearcoat_alpha", 0.1)[0]
+        flatness = self._slot_scalar(p, "flatness", 0.0)[0]
+        spec_tint_amt = self._slot_scalar(p, "spec_tint", 0.0)[0]
+        ax, ay, rtex, remap, aniso = self._alpha_from(p, lo=0.001)
+
+        lum = 0.212671 * kd[0] + 0.715160 * kd[1] + 0.072169 * kd[2]
+        ctint = [c / lum if lum > 0 else 1.0 for c in kd]
+        f0d = float(frs.schlick_F0_from_ior(np.float32(ior)))
+        f0 = [f0d * ((1 - spec_tint_amt) + spec_tint_amt * c) for c in ctint]
+        f0 = [(1 - metallic) * f + metallic * c for f, c in zip(f0, kd)]
+        stint = [(1 - sheen_tint) + sheen_tint * c for c in ctint]
+
+        diff_w = (1.0 - metallic) * (1.0 - spec_trans)
+        row.update(kd=kd, kd_tex=kdtex, diffuse_kind=bsdf.DIFF_DISNEY,
+                   diffuse_weight=diff_w,
+                   fr_mode=frs.FR_SCHLICK, eta3=f0, eta=float(ior),
+                   ax=ax, ay=ay, rough_tex=rtex, rough_remap=remap,
+                   anisotropic=aniso, spec_weight=1.0,
+                   trans_weight=(1.0 - metallic) * spec_trans,
+                   spec_tint=kd if spec_trans > 0 else [1.0, 1.0, 1.0],
+                   cc_weight=cc, cc_alpha=max(float(cc_alpha), 1e-3),
+                   sheen_weight=sheen * (1.0 - metallic),
+                   sheen_tint=stint, flatness=flatness, metallic=metallic)
+
+    def _mat_subsurface(self, row, p):
+        # placeholder: diffuse approximation of BSSRDF (subsurface.cpp)
+        self._mat_diffuse(row, p)
+
+    def _mat_emission(self, row, p):
+        row.update(diffuse_weight=0.0)
+
+    def _mat_black_body(self, row, p):
+        row.update(diffuse_weight=0.0)
+
+    def _mat_mix(self, row, p):
+        frac = self._slot_scalar(p, "frac", p.as_float("scale", 0.5))[0]
+        r0 = self._compile_row(p.raw("mat0", {}))
+        r1 = self._compile_row(p.raw("mat1", {}))
+        # LobeSet::create_mix(frac, m0, m1): m0 weighted by frac
+        self._blend_rows(row, r0, r1, frac)
+
+    def _mat_add(self, row, p):
+        r0 = self._compile_row(p.raw("mat0", {}))
+        r1 = self._compile_row(p.raw("mat1", {}))
+        self._blend_rows(row, r0, r1, 1.0, add=True)
+
+    def _mat_multi_layered(self, row, p):
+        # approximate: blend the layers equally
+        r0 = self._compile_row(p.raw("mat0", p.raw("bottom", {})))
+        r1 = self._compile_row(p.raw("mat1", p.raw("top", {})))
+        self._blend_rows(row, r0, r1, 0.5)
+
+    def _blend_rows(self, row, r0, r1, frac, add=False):
+        w0 = 1.0 if add else frac
+        w1 = 1.0 if add else (1.0 - frac)
+        weight_keys = ("diffuse_weight", "spec_weight", "trans_weight",
+                       "cc_weight", "sheen_weight")
+        for k in row:
+            v0, v1 = r0[k], r1[k]
+            if k in weight_keys:
+                row[k] = w0 * v0 + w1 * v1
+            elif isinstance(v0, list):
+                t0 = w0 if not add else 0.5
+                t1 = 1.0 - t0
+                row[k] = [t0 * a + t1 * b for a, b in zip(v0, v1)]
+            elif isinstance(v0, float):
+                t0 = w0 if not add else 0.5
+                row[k] = t0 * v0 + (1.0 - t0) * v1
+            else:  # int flags: majority by larger weight
+                row[k] = v0 if w0 >= w1 else v1
+
+    def build(self):
+        if not self.rows:
+            self.rows.append(_default_row())
+        keys = self.rows[0].keys()
+        cols = {k: [r[k] for r in self.rows] for k in keys}
+        int_keys = {"kd_tex", "spec_tex", "rough_tex", "rough_remap",
+                    "diffuse_kind", "fr_mode", "dispersive_id"}
+        arrs = {}
+        for k, v in cols.items():
+            dt = jnp.int32 if k in int_keys else jnp.float32
+            arrs[k] = jnp.asarray(np.asarray(v), dt)
+        return MaterialTable(**arrs)
+
+
+def gather_params(table, atlas, mat_id, uv):
+    """Gather per-lane LobeParams from the table + resolve textured slots.
+    mat_id [...] int32 (clamped; invalid lanes get row 0 with zero weights)."""
+    valid = mat_id >= 0
+    mid = jnp.clip(mat_id, 0, table.kd.shape[0] - 1)
+
+    def g(col):
+        return col[mid]
+
+    kd = g(table.kd)
+    kd_tex = g(table.kd_tex)
+    kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv), kd)
+
+    spec_tint = g(table.spec_tint)
+    spec_tex = g(table.spec_tex)
+    spec_tint = jnp.where((spec_tex >= 0)[..., None],
+                          atlas.sample(spec_tex, uv), spec_tint)
+
+    ax = g(table.ax)
+    ay = g(table.ay)
+    rough_tex = g(table.rough_tex)
+    r_sample = atlas.sample(rough_tex, uv)[..., 0]
+    r_alpha = jnp.where(g(table.rough_remap) > 0, r_sample * r_sample, r_sample)
+    ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)
+    ay = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ay)
+
+    wvalid = valid.astype(jnp.float32)
+    return bsdf.LobeParams(
+        kd=kd, sigma=g(table.sigma), diffuse_kind=g(table.diffuse_kind),
+        diffuse_weight=g(table.diffuse_weight) * wvalid,
+        spec_tint=spec_tint, ax=ax, ay=ay,
+        fr_mode=g(table.fr_mode), eta=g(table.eta)[..., None],
+        eta3=g(table.eta3), k3=g(table.k3),
+        spec_weight=g(table.spec_weight) * wvalid,
+        trans_weight=g(table.trans_weight) * wvalid,
+        cc_weight=g(table.cc_weight) * wvalid, cc_alpha=g(table.cc_alpha),
+        sheen_weight=g(table.sheen_weight) * wvalid,
+        sheen_tint=g(table.sheen_tint),
+        flatness=g(table.flatness), metallic=g(table.metallic),
+    )
