@@ -102,10 +102,14 @@ def pdf_wi_reflection(pdf_wh, wo, wh):
 
 
 def pdf_wi_transmission(pdf_wh, wo, wh, wi, eta):
-    """Transmission jacobian (microfacet.h PDF_wi_transmission), eta=eta_i/eta_o:
-    dwh/dwi = |wi.wh| / (wi.wh * eta + wo.wh)^2."""
+    """Transmission jacobian, eta = eta_transmitted/eta_incident seen from wo
+    (wh = normalize(wo + wi*eta)): dwh/dwi = eta^2 |wi.wh| / (wo.wh + eta wi.wh)^2.
+
+    Note: the reference's microfacet.h drops the eta^2 factor in BOTH f and
+    the pdf (they cancel in f/pdf); we keep the physically-consistent forms so
+    MIS against light pdfs is exact (verified by the glass furnace test)."""
     denom = sqr(dot(wi, wh) * eta + dot(wo, wh))
-    return safe_div(pdf_wh * jnp.abs(dot(wi, wh)), denom)
+    return safe_div(pdf_wh * sqr(eta) * jnp.abs(dot(wi, wh)), denom)
 
 
 def brdf_div_fr(wo, wh, wi, ax, ay):
@@ -115,16 +119,18 @@ def brdf_div_fr(wo, wh, wi, ax, ay):
 
 
 def btdf_div_ft(wo, wh, wi, eta, ax, ay, radiance_mode=True):
-    """Microfacet BTDF without Fresnel (eta = eta_i/eta_o; wh toward wo side).
+    """Microfacet BTDF without Fresnel; eta = eta_t/eta_i seen from wo,
+    wh = normalize(wo + wi*eta).
 
-    ft = D G |wi.wh| |wo.wh| / (|cos_i cos_o| (wi.wh*eta + wo.wh)^2),
-    scaled by 1/eta^2 in radiance transport (solid-angle compression).
+    ft = D G eta^2 |wi.wh| |wo.wh| / (|cos_i cos_o| (wo.wh + eta wi.wh)^2),
+    times 1/eta^2 in radiance transport (solid-angle compression) — which
+    cancels the eta^2, leaving the radiance-mode form below.
     """
     denom = sqr(dot(wi, wh) * eta + dot(wo, wh))
     f = safe_div(
         D_ggx(wh, ax, ay) * G_ggx(wo, wi, ax, ay)
         * jnp.abs(dot(wi, wh)) * jnp.abs(dot(wo, wh)),
         jnp.abs(cos_theta(wi) * cos_theta(wo)) * denom)
-    if radiance_mode:
-        f = f / sqr(eta)
+    if not radiance_mode:
+        f = f * sqr(eta)
     return f
