@@ -84,7 +84,7 @@ def spawn_origin(pos, ng, w):
 
 
 def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
-             spectrum=None):
+             spectrum=None, remat=False):
     """Estimate L for a wavefront of rays. Returns (L [R, 3], aovs dict)."""
     R = ray.origin.shape[0]
     S = 3
@@ -99,11 +99,13 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
 
     carry = dict(o=ray.origin, d=ray.direction, L=L, thr=throughput,
                  spdf=scatter_pdf, act=active, eta=eta_scale, png=prev_ng,
-                 st=state, alb=first_albedo, nrm=first_normal)
+                 st=state, alb=first_albedo, nrm=first_normal,
+                 nrays=jnp.zeros((), jnp.float32))
 
     def bounce(depth, c):
         r = Ray.make(c["o"], c["d"])
         hit = trace_closest(scene, r)
+        nrays = c["nrays"] + jnp.sum(c["act"].astype(jnp.float32))
         act = c["act"]
         st = c["st"]
         L = c["L"]
@@ -148,6 +150,7 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         shadow_ray = Ray.make(shadow_o, ls.wi,
                               t_max=ls.dist * (1.0 - 1e-3))
         occ = trace_occluded(scene, shadow_ray)
+        nrays = nrays + jnp.sum(act.astype(jnp.float32))
         wi_l_nee = to_local(t, b, ns, ls.wi)
         nee_eval = ub.evaluate(params, wo_l, wi_l_nee)
         f_nee = nee_eval.f * jnp.abs(wi_l_nee[..., 2])[..., None]
@@ -181,12 +184,16 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         new_o = spawn_origin(pos, ng, wi_world)
         return dict(o=new_o, d=wi_world, L=L, thr=new_thr,
                     spdf=bs.ev.pdf, act=act, eta=eta, png=ng, st=st,
-                    alb=alb, nrm=nrm)
+                    alb=alb, nrm=nrm, nrays=nrays)
 
-    out = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    # rematerialize each bounce under AD: O(1) live wavefront instead of
+    # O(depth) residuals (SURVEY.md §7: replay instead of tape)
+    body = jax.checkpoint(bounce) if remat else bounce
+    out = jax.lax.fori_loop(0, max_depth, body, carry)
     Lf = out["L"]
     Lf = jnp.where(jnp.isfinite(Lf), Lf, 0.0)
-    return Lf, dict(albedo=out["alb"], normal=out["nrm"])
+    return Lf, dict(albedo=out["alb"], normal=out["nrm"],
+                    nrays=out["nrays"])
 
 
 def render_sample(scene, camera, filt, frame_index, max_depth=16, min_depth=0,
@@ -209,4 +216,7 @@ def render_sample(scene, camera, filt, frame_index, max_depth=16, min_depth=0,
     L, aovs = radiance(scene, ray, st, max_depth, min_depth, rr_threshold)
     L = L * fw[..., None]
     img = L.reshape(H, W, 3)
-    return img, {k: v.reshape(H, W, -1) for k, v in aovs.items()}
+    nrays = aovs.pop("nrays")
+    out_aovs = {k: v.reshape(H, W, -1) for k, v in aovs.items()}
+    out_aovs["nrays"] = nrays
+    return img, out_aovs
