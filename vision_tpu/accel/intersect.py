@@ -25,15 +25,39 @@ _EPS = 1e-9
 
 def _mt_batch(o, d, p0, e1, e2):
     """Möller-Trumbore: rays [R,3] vs tris [R,B,3] (per-ray candidate sets) or
-    broadcastable. Returns (t, u, v, hit_mask) each [R, B]."""
-    pv = jnp.cross(d[..., None, :], e2)
-    det = jnp.sum(e1 * pv, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    tv = o[..., None, :] - p0
-    u = jnp.sum(tv * pv, axis=-1) * inv_det
-    qv = jnp.cross(tv, e1)
-    v = jnp.sum(d[..., None, :] * qv, axis=-1) * inv_det
-    t = jnp.sum(e2 * qv, axis=-1) * inv_det
+    broadcastable. Returns (t, u, v, hit_mask) each [R, B].
+
+    Component-separated math: every intermediate is an [R, B] array (the
+    trailing axis is the triangle batch, padded to the 128-lane dim), never
+    an [R, B, 3] — a vec3 trailing axis uses 3/128 VPU lanes and measured
+    ~12x slower on v5e.
+    """
+    def comp(a):
+        return a[..., 0], a[..., 1], a[..., 2]
+
+    ox, oy, oz = (c[..., None] for c in comp(o))
+    dx, dy, dz = (c[..., None] for c in comp(d))
+    p0x, p0y, p0z = comp(p0)
+    e1x, e1y, e1z = comp(e1)
+    e2x, e2y, e2z = comp(e2)
+
+    # pv = d x e2
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = jnp.where(jnp.abs(det) > _EPS,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    # qv = tv x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     ok = (jnp.abs(det) > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
     return t, u, v, ok
 

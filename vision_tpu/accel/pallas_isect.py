@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: dense ray/triangle intersection sweep.
+
+The speed-of-light path for moderate scenes (all triangles VMEM-resident,
+triangles checked against every ray). Replaces OptiX trace_closest /
+trace_occlusion for the dense strategy. Design:
+
+  * grid over ray tiles (RT rays / program); rays arrive as an [R, 8] f32
+    block (ox oy oz dx dy dz tmax pad) so the tile is (RT, 8);
+  * triangles live as component rows [3, Tp] fully in VMEM and are swept in
+    CT-wide chunks, so every intermediate is an (RT, CT) array on full
+    128-lane tiles and never leaves VMEM — the XLA version of this sweep
+    materializes ~20 [R, T] temps through HBM;
+  * closest-hit keeps a running (t, idx, u, v) carry across chunks.
+
+Möller-Trumbore in component form; matches accel/intersect.py bit-for-bit
+modulo fp reassociation (tested against it).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import Hit
+
+_EPS = 1e-9
+RT = 256    # rays per program
+CT = 512    # triangle chunk width
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _mt_chunk(rays_ref, p0_ref, e1_ref, e2_ref, ci):
+    """One (RT, CT) Möller-Trumbore sweep. Returns (t, u, v, ok)."""
+    ox = rays_ref[:, 0:1]
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    sl = pl.ds(pl.multiple_of(ci * CT, CT), CT)
+    p0x = p0_ref[0:1, sl]
+    p0y = p0_ref[1:2, sl]
+    p0z = p0_ref[2:3, sl]
+    e1x = e1_ref[0:1, sl]
+    e1y = e1_ref[1:2, sl]
+    e1z = e1_ref[2:3, sl]
+    e2x = e2_ref[0:1, sl]
+    e2y = e2_ref[1:2, sl]
+    e2z = e2_ref[2:3, sl]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = jnp.where(jnp.abs(det) > _EPS,
+                        1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    ok = ((jnp.abs(det) > _EPS) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > 0.0))
+    return t, u, v, ok
+
+
+def _closest_kernel(n_chunks, rays_ref, p0_ref, e1_ref, e2_ref, out_ref):
+    tmax = rays_ref[:, 6:7]
+
+    def body(ci, carry):
+        bt, bi, bu, bv = carry
+        t, u, v, ok = _mt_chunk(rays_ref, p0_ref, e1_ref, e2_ref, ci)
+        ok = ok & (t < bt)
+        t = jnp.where(ok, t, 3e38)
+        # column index of chunk-minimum
+        col = jax.lax.broadcasted_iota(jnp.float32, t.shape, 1)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        better = tmin < bt
+        at_min = t == tmin
+        sel_col = jnp.min(jnp.where(at_min, col, 3e38), axis=1, keepdims=True)
+        sel = at_min & (col == sel_col)
+        pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        gi = sel_col + ci * CT
+        bt = jnp.where(better, tmin, bt)
+        bi = jnp.where(better, gi, bi)
+        bu = jnp.where(better, pick(u), bu)
+        bv = jnp.where(better, pick(v), bv)
+        return bt, bi, bu, bv
+
+    init = (tmax, jnp.full((RT, 1), -1.0), jnp.zeros((RT, 1)),
+            jnp.zeros((RT, 1)))
+    bt, bi, bu, bv = jax.lax.fori_loop(0, n_chunks, body, init)
+    out_ref[:, 0:1] = bt
+    out_ref[:, 1:2] = bi
+    out_ref[:, 2:3] = bu
+    out_ref[:, 3:4] = bv
+    out_ref[:, 4:8] = jnp.zeros((RT, 4))
+
+
+def _anyhit_kernel(n_chunks, rays_ref, p0_ref, e1_ref, e2_ref, out_ref):
+    tmax = rays_ref[:, 6:7]
+
+    def body(ci, occ):
+        t, u, v, ok = _mt_chunk(rays_ref, p0_ref, e1_ref, e2_ref, ci)
+        hit = jnp.any(ok & (t < tmax), axis=1, keepdims=True)
+        return occ | hit
+
+    occ = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((RT, 1), bool))
+    out_ref[:, 0:1] = occ.astype(jnp.float32)
+    out_ref[:, 1:8] = jnp.zeros((RT, 7))
+
+
+def _pack(ray):
+    R = ray.origin.shape[0]
+    Rp = _round_up(max(R, 1), RT)
+    rays = jnp.zeros((Rp, 8), jnp.float32)
+    rays = rays.at[:R, 0:3].set(ray.origin)
+    rays = rays.at[:R, 3:6].set(ray.direction)
+    rays = rays.at[:R, 6].set(ray.t_max)
+    return rays, R, Rp
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def intersect_pallas(ray, tri_p0, tri_e1, tri_e2, any_hit=False,
+                     interpret=False):
+    """Dense sweep via the Pallas kernel. Returns Hit (or occlusion in
+    Hit.prim_id >= 0 form for any_hit)."""
+    T = tri_p0.shape[0]
+    Tp = _round_up(max(T, 1), CT)
+    n_chunks = Tp // CT
+
+    def pack_tris(a):
+        out = jnp.zeros((3, Tp), jnp.float32)
+        return out.at[:, :T].set(a.T)
+
+    p0 = pack_tris(tri_p0)
+    e1 = pack_tris(tri_e1)
+    e2 = pack_tris(tri_e2)
+    rays, R, Rp = _pack(ray)
+
+    kern = _anyhit_kernel if any_hit else _closest_kernel
+    out = pl.pallas_call(
+        functools.partial(kern, n_chunks),
+        out_shape=jax.ShapeDtypeStruct((Rp, 8), jnp.float32),
+        grid=(Rp // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rays, p0, e1, e2)
+
+    out = out[:R]
+    if any_hit:
+        hit_mask = out[:, 0] > 0.5
+        return Hit(t=ray.t_max, prim_id=jnp.where(hit_mask, 0, -1),
+                   bary=jnp.zeros((R, 2)))
+    t = out[:, 0]
+    pid = out[:, 1].astype(jnp.int32)
+    miss = (pid < 0) | (t >= ray.t_max)
+    return Hit(t=jnp.where(miss, ray.t_max, t),
+               prim_id=jnp.where(miss, -1, pid),
+               bary=out[:, 2:4])

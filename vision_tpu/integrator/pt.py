@@ -33,15 +33,31 @@ from ..lights import lights as lt
 RAY_OFFSET = 2e-4
 
 
+def _on_tpu():
+    import jax
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def trace_closest(scene, ray):
     if scene.bvh is not None:
         return isect.intersect_bvh(ray, scene.bvh)
+    if _on_tpu():
+        from ..accel.pallas_isect import intersect_pallas
+        return intersect_pallas(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
     return isect.intersect_brute(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
 
 
 def trace_occluded(scene, ray):
     if scene.bvh is not None:
         hit = isect.intersect_bvh(ray, scene.bvh, any_hit=True)
+        return hit.prim_id >= 0
+    if _on_tpu():
+        from ..accel.pallas_isect import intersect_pallas
+        hit = intersect_pallas(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2,
+                               any_hit=True)
         return hit.prim_id >= 0
     return isect.occluded_brute(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
 
@@ -84,10 +100,14 @@ def spawn_origin(pos, ng, w):
 
 
 def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
-             spectrum=None, remat=False):
-    """Estimate L for a wavefront of rays. Returns (L [R, 3], aovs dict)."""
+             remat=False):
+    """Estimate L for a wavefront of rays. Returns (L [R, 3] linear sRGB,
+    aovs dict). Spectral transport (hero wavelengths) happens internally when
+    scene.spectrum is a hero model; the output is always converged to sRGB."""
+    spectrum = scene.spectrum
     R = ray.origin.shape[0]
-    S = 3
+    state, swl = spectrum.sample_wavelengths(state)
+    S = spectrum.dims
     L = jnp.zeros((R, S))
     throughput = jnp.ones((R, S))
     scatter_pdf = jnp.full((R,), 1e16)
@@ -97,9 +117,11 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
     first_albedo = jnp.zeros((R, S))
     first_normal = jnp.zeros((R, 3))
 
+    first_albedo = jnp.zeros((R, 3))
     carry = dict(o=ray.origin, d=ray.direction, L=L, thr=throughput,
                  spdf=scatter_pdf, act=active, eta=eta_scale, png=prev_ng,
                  st=state, alb=first_albedo, nrm=first_normal,
+                 alive=swl.secondary_alive,
                  nrays=jnp.zeros((), jnp.float32))
 
     def bounce(depth, c):
@@ -111,9 +133,12 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         L = c["L"]
         thr = c["thr"]
 
+        swl_c = swl.replace(secondary_alive=c["alive"])
+
         # ---------------- miss: environment ----------------
         miss = act & hit.is_miss
-        env_L = lt.env_radiance(scene.lights, scene.atlas, c["d"])
+        env_L = lt.env_radiance(scene.lights, scene.atlas, c["d"],
+                                spectrum, swl_c)
         env_pdf = lt.env_pdf_wi(scene.lights, c["d"])
         w_env = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], env_pdf))
         L = L + jnp.where(miss[..., None], thr * env_L * w_env[..., None], 0.0)
@@ -124,20 +149,28 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
 
         # ---------------- emissive hit MIS ----------------
         Le, l_pdf = lt.eval_hit_area(scene.lights, light_id, hit.prim_id, None,
-                                     c["o"], pos, ng, uv, scene.atlas)
+                                     c["o"], pos, ng, uv, scene.atlas,
+                                     spectrum, swl_c)
         w_hit = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], l_pdf))
         hit_light = act & (light_id >= 0)
         L = L + jnp.where(hit_light[..., None], thr * Le * w_hit[..., None], 0.0)
 
         # ---------------- material params + shading frame ----------------
-        params = gather_params(scene.materials, scene.atlas, mat_id, uv)
+        params, dispersive = gather_params(scene.materials, scene.atlas,
+                                           mat_id, uv, spectrum, swl_c)
+        # dispersion: kill secondary wavelengths on dispersive interactions
+        # (SampledWavelengths::check_dispersive)
+        alive = c["alive"] & jnp.logical_not(act & dispersive)
+        swl_c = swl_c.replace(secondary_alive=alive)
         t, b = coordinate_system(ns)
         wo_l = to_local(t, b, ns, wo)
 
         # first-bounce AOVs
         is_first = depth == 0
-        alb = jnp.where((is_first & act)[..., None],
-                        ub.albedo(params, wo_l), c["alb"])
+        alb3 = ub.albedo(params, wo_l)
+        alb3 = alb3 if alb3.shape[-1] == 3 else jnp.broadcast_to(
+            jnp.mean(alb3, -1, keepdims=True), alb3.shape[:-1] + (3,))
+        alb = jnp.where((is_first & act)[..., None], alb3, c["alb"])
         nrm = jnp.where((is_first & act)[..., None], ns, c["nrm"])
 
         # ---------------- NEE ----------------
@@ -145,7 +178,8 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         st, u_l2 = rng.next_2d(st)
         ls = lt.sample_wi(scene.lights, scene.atlas,
                           (scene.tri_p0, scene.tri_e1, scene.tri_e2),
-                          pos, ns, u_sel, u_l2, scene.world_radius)
+                          pos, ns, u_sel, u_l2, scene.world_radius,
+                          spectrum, swl_c)
         shadow_o = spawn_origin(pos, ng, ls.wi)
         shadow_ray = Ray.make(shadow_o, ls.wi,
                               t_max=ls.dist * (1.0 - 1e-3))
@@ -184,13 +218,13 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         new_o = spawn_origin(pos, ng, wi_world)
         return dict(o=new_o, d=wi_world, L=L, thr=new_thr,
                     spdf=bs.ev.pdf, act=act, eta=eta, png=ng, st=st,
-                    alb=alb, nrm=nrm, nrays=nrays)
+                    alb=alb, nrm=nrm, alive=alive, nrays=nrays)
 
     # rematerialize each bounce under AD: O(1) live wavefront instead of
     # O(depth) residuals (SURVEY.md §7: replay instead of tape)
     body = jax.checkpoint(bounce) if remat else bounce
     out = jax.lax.fori_loop(0, max_depth, body, carry)
-    Lf = out["L"]
+    Lf = spectrum.to_srgb(out["L"], swl.replace(secondary_alive=out["alive"]))
     Lf = jnp.where(jnp.isfinite(Lf), Lf, 0.0)
     return Lf, dict(albedo=out["alb"], normal=out["nrm"],
                     nrays=out["nrays"])

@@ -30,6 +30,12 @@ from ..core.math import (Inv2Pi, InvPi, Pi, TwoPi, dot, length_squared,
 from ..core import warp
 from .alias import build_alias, sample_alias
 
+
+def _decode_illum(rgb, spectrum, swl):
+    if spectrum is None:
+        return rgb
+    return spectrum.decode_illumination(rgb, swl)
+
 L_AREA = 0
 L_POINT = 1
 L_SPOT = 2
@@ -95,10 +101,12 @@ def _rotate(m, v):
     return jnp.einsum("...ij,...j->...i", m, v)
 
 
-def env_radiance(table, atlas, world_dir):
-    """Environment radiance for direction(s) (miss shading)."""
+def env_radiance(table, atlas, world_dir, spectrum=None, swl=None):
+    """Environment radiance for direction(s) (miss shading). Spectral when a
+    hero SpectrumModel is given (illumination decode of the texel)."""
+    S = 3 if spectrum is None else spectrum.dims
     if table.env_index < 0:
-        return jnp.zeros(world_dir.shape[:-1] + (3,))
+        return jnp.zeros(world_dir.shape[:-1] + (S,))
     li = table.env_index
     local = _rotate(table.w2o[li], world_dir)
     theta = spherical_theta(local)
@@ -106,7 +114,8 @@ def env_radiance(table, atlas, world_dir):
     uv = jnp.stack([phi * Inv2Pi, theta * InvPi], -1)
     scale = table.color[li]
     # env uses direct lat-long addressing (v=0 at top row => no flip)
-    return _sample_env_tex(table, atlas, uv) * scale
+    rgb = _sample_env_tex(table, atlas, uv) * scale
+    return _decode_illum(rgb, spectrum, swl)
 
 
 def _sample_env_tex(table, atlas, uv):
@@ -165,9 +174,11 @@ def light_pmf(table, light_id):
     return base
 
 
-def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2, world_radius):
+def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2,
+              world_radius, spectrum=None, swl=None):
     """NEE light sample for every lane. scene_tris = (p0, e1, e2, n) global
-    triangle arrays for area lights. Returns LightSample ([..., S=3])."""
+    triangle arrays for area lights. Returns LightSample; L is [..., S]
+    (spectral under a hero SpectrumModel)."""
     lid, sel_pmf, u_sel2 = select_light(table, u_sel)
     lt = table.ltype[lid]
     color = table.color[lid]
@@ -262,6 +273,7 @@ def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2, world_radius
         jnp.where(is_point[..., None], L_p,
         jnp.where(is_spot[..., None], L_s,
         jnp.where(is_proj[..., None], L_pr, L_e))))
+    L = _decode_illum(L, spectrum, swl)
     delta = is_point | is_spot | is_proj
     pdf = jnp.where(is_area, pdf_a, jnp.where(is_env, pdf_e, 1.0))
     pdf = pdf * sel_pmf
@@ -272,7 +284,7 @@ def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2, world_radius
 
 
 def eval_hit_area(table, light_id, prim_id, tri_base_area, ref_pos, hit_pos,
-                  hit_ng, hit_uv, atlas):
+                  hit_ng, hit_uv, atlas, spectrum=None, swl=None):
     """(L, pdf_wi) when a scatter ray hits an emissive surface
     (lightsampler.cpp evaluate_hit_wi). pdf includes light selection pmf."""
     lid = jnp.clip(light_id, 0, table.ltype.shape[0] - 1)
@@ -280,7 +292,7 @@ def eval_hit_area(table, light_id, prim_id, tri_base_area, ref_pos, hit_pos,
     w = ref_pos - hit_pos
     front = dot(normalize(w), hit_ng)
     vis = (front > 0.0) | (table.two_sided[lid] > 0)
-    L = color * vis[..., None]
+    L = _decode_illum(color, spectrum, swl) * vis[..., None]
     pdf_pos = safe_div(1.0, table.total_area[lid])
     pdf_wi = warp.pdf_wi_from_point(pdf_pos, hit_ng, w)
     pdf_wi = jnp.where(jnp.isfinite(pdf_wi), pdf_wi, 0.0)

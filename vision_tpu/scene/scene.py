@@ -47,6 +47,7 @@ class SceneData:
     lights: object         # LightTable
     atlas: object          # TextureAtlas
     bvh: object            # BVH or None
+    spectrum: object       # SpectrumModel
     world_radius: jnp.ndarray
 
 
@@ -158,7 +159,15 @@ class Scene:
         self.output_spp = int(out.get("spp", 0))
         self.output_fn = out.get("fn", "output.png")
 
-        self.spectrum_type = raw.get("spectrum", {}).get("type", "srgb")
+        sp_desc = raw.get("spectrum", {})
+        self.spectrum_type = sp_desc.get("type", "srgb")
+        self.spectrum_dims = sp_desc.get("param", {}).get("dimension", 3)
+        if self.spectrum_type not in ("srgb", "hero"):
+            self.spectrum_type = "srgb"
+        # hero needs >= 1 lambda; keep 3-4 typical
+        from ..spectra.spectrum import SpectrumModel
+        self.spectrum = SpectrumModel.make(self.spectrum_type,
+                                           self.spectrum_dims)
 
         # ---- device data ----
         self.atlas = self.atlas_builder.build()
@@ -311,6 +320,7 @@ class Scene:
             lights=self.light_table,
             atlas=self.atlas,
             bvh=bvh,
+            spectrum=self.spectrum,
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
         )
 

@@ -47,7 +47,12 @@ class MaterialTable:
     sheen_tint: jnp.ndarray  # [M, 3]
     flatness: jnp.ndarray
     metallic: jnp.ndarray
-    dispersive_id: jnp.ndarray  # index into glass curve registry (-1 none)
+    dispersive_id: jnp.ndarray  # index into glass_coeffs rows (-1 none)
+    metal_id: jnp.ndarray       # index into metal SPD rows (-1 none)
+    # spectral registries (shared rows, gathered in hero mode)
+    glass_coeffs: jnp.ndarray   # [G, 6] Sellmeier B1 C1 B2 C2 B3 C3
+    metal_eta_spd: jnp.ndarray  # [Mt, 95]
+    metal_k_spd: jnp.ndarray    # [Mt, 95]
 
 
 def _default_row():
@@ -62,7 +67,7 @@ def _default_row():
         cc_weight=0.0, cc_alpha=0.01,
         sheen_weight=0.0, sheen_tint=[0.0, 0.0, 0.0],
         flatness=0.0, metallic=0.0,
-        dispersive_id=-1,
+        dispersive_id=-1, metal_id=-1,
     )
 
 
@@ -195,10 +200,13 @@ class MaterialCompiler:
     def _mat_metal(self, row, p):
         name = p.as_str("material_name", "Ag")
         eta, k = spd.metal_ior_rgb(name)
+        if name not in spd.METAL_NAMES:
+            name = "Ag"
         ax, ay, rtex, remap, aniso = self._alpha_from(p)
         row.update(fr_mode=frs.FR_CONDUCTOR, eta3=list(map(float, eta)),
                    k3=list(map(float, k)), ax=ax, ay=ay, rough_tex=rtex,
-                   rough_remap=remap, anisotropic=aniso, spec_weight=1.0)
+                   rough_remap=remap, anisotropic=aniso, spec_weight=1.0,
+                   metal_id=spd.METAL_NAMES.index(name))
 
     def _mat_metallic(self, row, p):
         color, tex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
@@ -340,31 +348,63 @@ class MaterialCompiler:
         keys = self.rows[0].keys()
         cols = {k: [r[k] for r in self.rows] for k in keys}
         int_keys = {"kd_tex", "spec_tex", "rough_tex", "rough_remap",
-                    "diffuse_kind", "fr_mode", "dispersive_id"}
+                    "diffuse_kind", "fr_mode", "dispersive_id", "metal_id"}
         arrs = {}
         for k, v in cols.items():
             dt = jnp.int32 if k in int_keys else jnp.float32
             arrs[k] = jnp.asarray(np.asarray(v), dt)
+        arrs["glass_coeffs"] = jnp.asarray(
+            [spd._SELLMEIER[n] for n in spd.GLASS_NAMES], jnp.float32)
+        eta_rows, k_rows = [], []
+        for n in spd.METAL_NAMES:
+            e, kk = spd.metal_complex_ior(n)
+            eta_rows.append(e)
+            k_rows.append(kk)
+        arrs["metal_eta_spd"] = jnp.asarray(np.stack(eta_rows))
+        arrs["metal_k_spd"] = jnp.asarray(np.stack(k_rows))
         return MaterialTable(**arrs)
 
 
-def gather_params(table, atlas, mat_id, uv):
+def _sellmeier_eta(coeffs, lam_nm):
+    """coeffs [..., 6], lam [..., S] (nm) -> eta [..., S] (glass.cpp IORCurve)."""
+    l2 = (lam_nm / 1000.0) ** 2
+    b1, c1 = coeffs[..., 0:1], coeffs[..., 1:2]
+    b2, c2 = coeffs[..., 2:3], coeffs[..., 3:4]
+    b3, c3 = coeffs[..., 4:5], coeffs[..., 5:6]
+    f = b1 * l2 / (l2 - c1) + b2 * l2 / (l2 - c2) + b3 * l2 / (l2 - c3)
+    return jnp.sqrt(jnp.maximum(f + 1.0, 1.0))
+
+
+def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
     """Gather per-lane LobeParams from the table + resolve textured slots.
-    mat_id [...] int32 (clamped; invalid lanes get row 0 with zero weights)."""
+    mat_id [...] int32 (clamped; invalid lanes get row 0 with zero weights).
+
+    With a hero SpectrumModel, colors decode to spectra at swl.lam, conductor
+    eta/k gather from metal SPD rows, and dispersive glass evaluates the
+    Sellmeier curve per wavelength. Returns (LobeParams, dispersive_mask)."""
+    from ..spectra.spectrum import KIND_HERO
     valid = mat_id >= 0
     mid = jnp.clip(mat_id, 0, table.kd.shape[0] - 1)
+    hero = spectrum is not None and spectrum.kind == KIND_HERO
 
     def g(col):
         return col[mid]
 
+    def decode_alb(rgb):
+        if hero:
+            return spectrum.decode_albedo(rgb, swl)
+        return rgb
+
     kd = g(table.kd)
     kd_tex = g(table.kd_tex)
     kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv), kd)
+    kd = decode_alb(kd)
 
     spec_tint = g(table.spec_tint)
     spec_tex = g(table.spec_tex)
     spec_tint = jnp.where((spec_tex >= 0)[..., None],
                           atlas.sample(spec_tex, uv), spec_tint)
+    spec_tint = decode_alb(spec_tint)
 
     ax = g(table.ax)
     ay = g(table.ay)
@@ -374,17 +414,43 @@ def gather_params(table, atlas, mat_id, uv):
     ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)
     ay = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ay)
 
+    # dielectric eta: scalar, or per-lambda Sellmeier when dispersive + hero
+    disp_id = g(table.dispersive_id)
+    eta = g(table.eta)[..., None]
+    dispersive = jnp.zeros(mid.shape, bool)
+    if hero:
+        gc = table.glass_coeffs[jnp.clip(disp_id, 0, table.glass_coeffs.shape[0] - 1)]
+        eta_spd = _sellmeier_eta(gc, swl.lam)
+        dispersive = disp_id >= 0
+        eta = jnp.where(dispersive[..., None], eta_spd, eta)
+
+    # conductor eta/k: RGB triplets, or metal SPD rows at swl in hero mode
+    eta3 = g(table.eta3)
+    k3 = g(table.k3)
+    if hero:
+        from ..spectra import spd as spdmod
+        metal_id = g(table.metal_id)
+        mrow = jnp.clip(metal_id, 0, table.metal_eta_spd.shape[0] - 1)
+        me = spdmod.spd_eval_rows(table.metal_eta_spd, mrow, swl.lam)
+        mk = spdmod.spd_eval_rows(table.metal_k_spd, mrow, swl.lam)
+        is_metal = (metal_id >= 0)[..., None]
+        eta3 = jnp.where(is_metal, me, decode_alb(eta3))
+        k3 = jnp.where(is_metal, mk, decode_alb(k3))
+
+    sheen_tint = decode_alb(g(table.sheen_tint))
+
     wvalid = valid.astype(jnp.float32)
-    return bsdf.LobeParams(
+    params = bsdf.LobeParams(
         kd=kd, sigma=g(table.sigma), diffuse_kind=g(table.diffuse_kind),
         diffuse_weight=g(table.diffuse_weight) * wvalid,
         spec_tint=spec_tint, ax=ax, ay=ay,
-        fr_mode=g(table.fr_mode), eta=g(table.eta)[..., None],
-        eta3=g(table.eta3), k3=g(table.k3),
+        fr_mode=g(table.fr_mode), eta=eta,
+        eta3=eta3, k3=k3,
         spec_weight=g(table.spec_weight) * wvalid,
         trans_weight=g(table.trans_weight) * wvalid,
         cc_weight=g(table.cc_weight) * wvalid, cc_alpha=g(table.cc_alpha),
         sheen_weight=g(table.sheen_weight) * wvalid,
-        sheen_tint=g(table.sheen_tint),
+        sheen_tint=sheen_tint,
         flatness=g(table.flatness), metallic=g(table.metallic),
     )
+    return params, dispersive & valid

@@ -54,6 +54,18 @@ def spd_eval(values, lambdas):
     return values[i0] * (1.0 - w) + values[i1] * w
 
 
+def spd_eval_rows(table, rows, lambdas):
+    """Per-lane SPD rows: table [N, K], rows [...], lambdas [..., S] -> [..., S]."""
+    k = table.shape[1]
+    lam = jnp.clip(lambdas, VISIBLE_MIN, VISIBLE_MAX)
+    t = (lam - VISIBLE_MIN) / (VISIBLE_MAX - VISIBLE_MIN) * (k - 1)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, k - 1)
+    i1 = jnp.clip(i0 + 1, 0, k - 1)
+    w = t - i0.astype(jnp.float32)
+    r = rows[..., None]
+    return table[r, i0] * (1.0 - w) + table[r, i1] * w
+
+
 def metal_complex_ior(name):
     """(eta_spd, k_spd) [95]-sample arrays for a named metal; falls back to Ag
     like the reference ComplexIorTable::get_ior."""
