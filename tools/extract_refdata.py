@@ -41,6 +41,25 @@ def extract_cie():
     print("cie: X/Y/Z/D65 471 samples (360..830nm)")
 
 
+
+
+def extract_measured_ss():
+    """Jensen et al. measured subsurface scattering presets
+    (medium_scatter_data.h — public measurement data)."""
+    text = open(f"{REF}/base/import/medium_scatter_data.h").read()
+    names, ss, sa = [], [], []
+    for m in re.finditer(
+            r'\{"([^"]+)",\s*float3\(([^)]+)\),\s*float3\(([^)]+)\)\}', text):
+        names.append(m.group(1))
+        ss.append([float(v) for v in m.group(2).split(",")])
+        sa.append([float(v) for v in m.group(3).split(",")])
+    np.savez(os.path.join(OUT, "measured_ss.npz"),
+             names=np.array(names), sigma_s=np.array(ss, np.float32),
+             sigma_a=np.array(sa, np.float32))
+    print(f"measured ss: {len(names)} presets")
+
+
 if __name__ == "__main__":
     extract_metals()
     extract_cie()
+    extract_measured_ss()

@@ -27,6 +27,7 @@ from ..core.math import (dot, dotv, face_forward, normalize, safe_div,
 from ..core.types import Ray, Hit
 from ..accel import intersect as isect
 from ..shading import bsdf as ub
+from ..shading import medium as md
 from ..shading.materials import gather_params
 from ..lights import lights as lt
 
@@ -118,10 +119,13 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
     first_normal = jnp.zeros((R, 3))
 
     first_albedo = jnp.zeros((R, 3))
+    has_media = getattr(scene, "has_media", False)
     carry = dict(o=ray.origin, d=ray.direction, L=L, thr=throughput,
                  spdf=scatter_pdf, act=active, eta=eta_scale, png=prev_ng,
                  st=state, alb=first_albedo, nrm=first_normal,
                  alive=swl.secondary_alive,
+                 med=jnp.full((R,), getattr(scene, "camera_medium", -1),
+                              jnp.int32),
                  nrays=jnp.zeros((), jnp.float32))
 
     def bounce(depth, c):
@@ -147,12 +151,38 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         pos, ng, ns, uv, inst, mat_id, light_id = compute_interaction(scene, r, hit)
         wo = -c["d"]
 
+        # ---------------- medium distance sampling ----------------
+        # (homogeneous.cpp sample(): analytic per-channel; medium-scatter
+        # lanes do phase NEE + HG scattering instead of surface shading)
+        med_id = c["med"]
+        in_med = med_id >= 0
+        samp_med = jnp.zeros_like(act)
+        g_med = jnp.zeros(act.shape)
+        sigma_t_sp = None
+        pos_med = pos
+        if has_media:
+            sigma_t_sp, sigma_s_sp, g_med = md.gather_spectral(
+                scene.mediums, med_id, spectrum, swl_c)
+            sigma_t_sp = jnp.where(in_med[..., None], sigma_t_sp, 0.0)
+            sigma_s_sp = jnp.where(in_med[..., None], sigma_s_sp, 0.0)
+            st, t_med, samp_raw, w_surf, w_med = md.sample_distance(
+                st, sigma_t_sp, hit.t, S)
+            samp_med = act & in_med & samp_raw
+            w = jnp.where(samp_med[..., None], w_med * sigma_s_sp,
+                          jnp.where((act & in_med)[..., None], w_surf, 1.0))
+            thr = thr * w
+            pos_med = r.at(t_med)
+            # medium scatter cancels the surface emission/material handling
+            act_surface = act & jnp.logical_not(samp_med)
+        else:
+            act_surface = act
+
         # ---------------- emissive hit MIS ----------------
         Le, l_pdf = lt.eval_hit_area(scene.lights, light_id, hit.prim_id, None,
                                      c["o"], pos, ng, uv, scene.atlas,
                                      spectrum, swl_c)
         w_hit = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], l_pdf))
-        hit_light = act & (light_id >= 0)
+        hit_light = act_surface & (light_id >= 0)
         L = L + jnp.where(hit_light[..., None], thr * Le * w_hit[..., None], 0.0)
 
         # ---------------- material params + shading frame ----------------
@@ -174,13 +204,17 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         nrm = jnp.where((is_first & act)[..., None], ns, c["nrm"])
 
         # ---------------- NEE ----------------
+        nee_pos = pos if not has_media else jnp.where(samp_med[..., None],
+                                                      pos_med, pos)
         st, u_sel = rng.next_1d(st)
         st, u_l2 = rng.next_2d(st)
         ls = lt.sample_wi(scene.lights, scene.atlas,
                           (scene.tri_p0, scene.tri_e1, scene.tri_e2),
-                          pos, ns, u_sel, u_l2, scene.world_radius,
+                          nee_pos, ns, u_sel, u_l2, scene.world_radius,
                           spectrum, swl_c)
         shadow_o = spawn_origin(pos, ng, ls.wi)
+        if has_media:
+            shadow_o = jnp.where(samp_med[..., None], pos_med, shadow_o)
         shadow_ray = Ray.make(shadow_o, ls.wi,
                               t_max=ls.dist * (1.0 - 1e-3))
         occ = trace_occluded(scene, shadow_ray)
@@ -188,21 +222,41 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         wi_l_nee = to_local(t, b, ns, ls.wi)
         nee_eval = ub.evaluate(params, wo_l, wi_l_nee)
         f_nee = nee_eval.f * jnp.abs(wi_l_nee[..., 2])[..., None]
+        nee_pdf = nee_eval.pdf
+        if has_media:
+            # phase-function NEE for medium-scatter lanes (no cosine)
+            # hg_phase convention: cos between away-pointing wo and wi
+            p_hg = md.hg_phase(dot(wo, ls.wi), g_med)
+            f_nee = jnp.where(samp_med[..., None], p_hg[..., None], f_nee)
+            nee_pdf = jnp.where(samp_med, p_hg, nee_pdf)
         is_delta = ls.pdf < 0.0
         l_pdf_pos = jnp.where(is_delta, -ls.pdf, ls.pdf)
-        w_nee = jnp.where(is_delta, 1.0, warp.mis_weight(l_pdf_pos, nee_eval.pdf))
-        nee_ok = act & jnp.logical_not(occ) & (l_pdf_pos > 0.0) & (nee_eval.pdf >= 0.0)
+        w_nee = jnp.where(is_delta, 1.0, warp.mis_weight(l_pdf_pos, nee_pdf))
+        nee_ok = act & jnp.logical_not(occ) & (l_pdf_pos > 0.0) & (nee_pdf >= 0.0)
         Ld = ls.L * f_nee * safe_div(w_nee, l_pdf_pos)[..., None]
+        if has_media:
+            tr_sh = md.transmittance(sigma_t_sp, ls.dist, in_med)
+            Ld = Ld * tr_sh
         L = L + jnp.where(nee_ok[..., None], thr * Ld, 0.0)
 
-        # ---------------- BSDF sample ----------------
+        # ---------------- BSDF / phase sample ----------------
         st, bs = ub.sample(params, wo_l, st)
         wi_world = to_world(t, b, ns, bs.wi)
         f_cos = bs.ev.f * jnp.abs(bs.wi[..., 2])[..., None]
-        new_thr = thr * jnp.where(bs.valid[..., None],
-                                  f_cos * safe_div(1.0, bs.ev.pdf)[..., None],
-                                  0.0)
-        act = act & bs.valid & (jnp.max(new_thr, -1) > 0.0)
+        ratio = jnp.where(bs.valid[..., None],
+                          f_cos * safe_div(1.0, bs.ev.pdf)[..., None], 0.0)
+        spdf_next = bs.ev.pdf
+        valid_next = bs.valid
+        if has_media:
+            st, u_hg = rng.next_2d(st)
+            wi_hg, pdf_hg = md.hg_sample(wo, g_med, u_hg)
+            wi_world = jnp.where(samp_med[..., None], wi_hg, wi_world)
+            # phase: f == pdf -> ratio 1
+            ratio = jnp.where(samp_med[..., None], 1.0, ratio)
+            spdf_next = jnp.where(samp_med, pdf_hg, spdf_next)
+            valid_next = valid_next | samp_med
+        new_thr = thr * ratio
+        act = act & valid_next & (jnp.max(new_thr, -1) > 0.0)
 
         # ---------------- russian roulette (integrator.cpp:289-297) ------
         eta = c["eta"] * bs.eta_scale
@@ -216,9 +270,18 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
         act = act & jnp.logical_not(kill)
 
         new_o = spawn_origin(pos, ng, wi_world)
+        new_med = med_id
+        if has_media:
+            new_o = jnp.where(samp_med[..., None], pos_med, new_o)
+            # medium transition on transmission through the surface
+            crossed = jnp.logical_not(samp_med) & (dot(wi_world, ng) * dot(wo, ng) < 0.0)
+            entering = dot(wi_world, ng) < 0.0
+            trans_med = jnp.where(entering, scene.inst_in_medium[inst],
+                                  scene.inst_out_medium[inst])
+            new_med = jnp.where(act & crossed, trans_med, med_id)
         return dict(o=new_o, d=wi_world, L=L, thr=new_thr,
-                    spdf=bs.ev.pdf, act=act, eta=eta, png=ng, st=st,
-                    alb=alb, nrm=nrm, alive=alive, nrays=nrays)
+                    spdf=spdf_next, act=act, eta=eta, png=ng, st=st,
+                    alb=alb, nrm=nrm, alive=alive, med=new_med, nrays=nrays)
 
     # rematerialize each bounce under AD: O(1) live wavefront instead of
     # O(depth) residuals (SURVEY.md §7: replay instead of tape)

@@ -44,6 +44,11 @@ class SceneData:
     inst_mat: jnp.ndarray  # [I] int32
     inst_light: jnp.ndarray  # [I] int32 (-1 = not emissive)
     materials: object      # MaterialTable
+    mediums: object        # MediumTable
+    inst_in_medium: jnp.ndarray   # [I] int32 (-1 vacuum)
+    inst_out_medium: jnp.ndarray  # [I] int32
+    has_media: bool = struct.field(pytree_node=False)
+    camera_medium: int = struct.field(pytree_node=False)
     lights: object         # LightTable
     atlas: object          # TextureAtlas
     bvh: object            # BVH or None
@@ -73,6 +78,17 @@ class Scene:
         for mdesc in raw.get("materials", []):
             self.mat_compiler.compile(mdesc)
 
+        # ---- mediums (vision_sss.json schema: {process, list|global}) ----
+        from ..shading.medium import MediumBuilder
+        self.medium_builder = MediumBuilder()
+        med_desc = raw.get("mediums", {})
+        self.process_mediums = bool(med_desc.get("process", False))
+        for md in med_desc.get("list", []):
+            self.medium_builder.add(md)
+        gname = med_desc.get("global", "")
+        self.global_medium = self.medium_builder.get(gname) if gname else -1
+        self.n_mediums = len(self.medium_builder.rows)
+
         # ---- light sampler config ----
         ls = raw.get("light_sampler", {})
         ls_type = ls.get("type", "uniform")
@@ -82,6 +98,7 @@ class Scene:
             env_prob=ls_param.get("env_prob", 0.5))
 
         # ---- shapes -> world-space triangle soup ----
+        self._inst_media = []
         mesh_parts = []     # (TriMesh world, inst_id)
         inst_mat, inst_light = [], []
         pending_emissions = []  # (inst_id, emission_desc, tri_base, areas)
@@ -100,6 +117,10 @@ class Scene:
                 mid = self.mat_compiler.get(mat_name) if mat_name else -1
             inst_mat.append(mid)
             inst_light.append(-1)
+            med = p.get("medium", {})
+            self._inst_media.append((
+                self.medium_builder.get(med.get("inside", "")) if med else -1,
+                self.medium_builder.get(med.get("outside", "")) if med else self.global_medium))
             mesh_parts.append((world, inst_id))
             if "emission" in p:
                 t0, t1, t2 = (world.positions[world.triangles[:, k]] for k in range(3))
@@ -173,6 +194,7 @@ class Scene:
         self.atlas = self.atlas_builder.build()
         self.material_table = self.mat_compiler.build()
         self.light_table = self.light_builder.build()
+        self.medium_table = self.medium_builder.build()
         self._build_device_geometry()
 
     def _emission_color(self, ep):
@@ -250,6 +272,7 @@ class Scene:
             inst_id = len(inst_mat)
             inst_mat.append(-1)
             inst_light.append(-1)
+            self._inst_media.append((-1, self.global_medium))
             tri_base = sum(m.num_triangles for m, _ in mesh_parts)
             mesh_parts.append((world, inst_id))
             t0, t1, t2 = (world.positions[world.triangles[:, k]] for k in range(3))
@@ -317,6 +340,13 @@ class Scene:
             inst_mat=jnp.asarray(self.inst_mat),
             inst_light=jnp.asarray(self.inst_light),
             materials=self.material_table,
+            mediums=self.medium_table,
+            inst_in_medium=jnp.asarray(
+                [m[0] for m in self._inst_media] or [-1], jnp.int32),
+            inst_out_medium=jnp.asarray(
+                [m[1] for m in self._inst_media] or [-1], jnp.int32),
+            has_media=self.process_mediums and self.n_mediums > 0,
+            camera_medium=self.global_medium,
             lights=self.light_table,
             atlas=self.atlas,
             bvh=bvh,
