@@ -1,0 +1,125 @@
+"""Real-time stack tests: G-buffer, ReSTIR DI, SVGF, full frame loop."""
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.fixtures import CBOX_JSON
+from vision_tpu.scene.scene import Scene
+
+
+def small_scene(res=32):
+    s = copy.deepcopy(CBOX_JSON)
+    s["camera"]["param"]["radiance_collector"]["param"]["resolution"] = [res, res]
+    return Scene(s)
+
+
+class TestGBuffer:
+    def test_primary_visibility(self):
+        from vision_tpu.sensor.gbuffer import compute_gbuffer
+        sc = small_scene(32)
+        gb = compute_gbuffer(sc.data, sc.camera, 0)
+        v = np.asarray(gb.valid)
+        assert v.mean() > 0.95  # almost all pixels hit the box interior
+        d = np.asarray(gb.depth)[v]
+        assert (d > 3.0).all() and (d < 12.0).all()
+        nrm = np.asarray(gb.normal)[v]
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-3)
+        alb = np.asarray(gb.albedo)[v]
+        assert (alb >= 0).all() and (alb <= 1.0).all()
+        # static camera: zero motion
+        np.testing.assert_allclose(np.asarray(gb.motion)[v], 0.0, atol=0.51)
+
+    def test_emission_on_light_pixels(self):
+        from vision_tpu.sensor.gbuffer import compute_gbuffer
+        sc = small_scene(48)
+        gb = compute_gbuffer(sc.data, sc.camera, 0, jitter=False)
+        em = np.asarray(gb.emission).reshape(48, 48, 3)
+        assert em[:10].max() > 10.0  # the area light is near the top rows
+        assert em[20:].max() == 0.0
+
+
+class TestReSTIR:
+    def test_di_unbiasedness_vs_pt_direct(self):
+        """ReSTIR DI (no reuse) averaged over frames should match direct-only
+        path tracing brightness."""
+        from vision_tpu.sensor.gbuffer import compute_gbuffer
+        from vision_tpu.integrator import restir
+        from vision_tpu.core import rng as vrng
+        from vision_tpu.render import render
+        sc = small_scene(32)
+        n = 32 * 32
+        acc = None
+        frames = 12
+        for f in range(frames):
+            gb = compute_gbuffer(sc.data, sc.camera, f)
+            st = vrng.seed(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(f + 77))
+            st, L, res = restir.restir_di(sc.data, gb, st, prev=None,
+                                          m_light=8, spatial_taps=0,
+                                          resolution=(32, 32))
+            acc = L if acc is None else acc + L
+        restir_img = np.asarray(acc / frames).reshape(32, 32, 3)
+
+        sc.max_depth = 1  # direct only
+        pt_img = render(sc, spp=16)
+        assert np.isfinite(restir_img).all()
+        # brightness agreement within MC noise
+        ratio = restir_img.mean() / pt_img.mean()
+        assert 0.8 < ratio < 1.25, ratio
+
+    def test_spatial_reuse_reduces_variance(self):
+        from vision_tpu.sensor.gbuffer import compute_gbuffer
+        from vision_tpu.integrator import restir
+        from vision_tpu.core import rng as vrng
+        sc = small_scene(32)
+        n = 32 * 32
+        gb = compute_gbuffer(sc.data, sc.camera, 0)
+
+        def var_of(spatial_taps, m_light=2):
+            st = vrng.seed(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(9))
+            _, L, _ = restir.restir_di(sc.data, gb, st, m_light=m_light,
+                                       spatial_taps=spatial_taps,
+                                       resolution=(32, 32))
+            x = np.asarray(L)
+            return x.var()
+
+        assert var_of(4) < var_of(0) * 1.05
+
+
+class TestSVGF:
+    def test_temporal_accumulation_reduces_noise(self):
+        from vision_tpu.post import svgf as sv
+        H = W = 32
+        rs = np.random.RandomState(0)
+        clean = np.tile(np.linspace(0.2, 0.8, W)[None, :, None], (H, 1, 3))
+        albedo = np.ones((H, W, 3), np.float32) * 0.7
+        normal = np.tile(np.asarray([0, 0, 1.0], np.float32), (H, W, 1))
+        depth = np.ones((H, W), np.float32) * 5
+        motion = np.zeros((H, W, 2), np.float32)
+        state = sv.init_state(H, W)
+        errs = []
+        for f in range(6):
+            noisy = clean + rs.randn(H, W, 3) * 0.2
+            out, state = sv.svgf_filter(
+                jnp.asarray(noisy, jnp.float32), jnp.asarray(albedo),
+                jnp.asarray(normal), jnp.asarray(depth), jnp.asarray(motion),
+                state, n_passes=2)
+            errs.append(float(np.abs(np.asarray(out) - clean).mean()))
+        assert errs[-1] < errs[0] * 0.8
+        assert float(np.asarray(state.history).mean()) > 4.0
+
+
+class TestRealtimeLoop:
+    def test_three_frames_converge(self):
+        from vision_tpu.integrator.realtime import RealTimeState, render_realtime
+        sc = small_scene(32)
+        state = RealTimeState.initial((32, 32))
+        imgs = []
+        for _ in range(3):
+            img, state = render_realtime(sc.data, sc.camera, state,
+                                         m_light=4, spatial_taps=1,
+                                         svgf_passes=2)
+            imgs.append(np.asarray(img))
+        assert all(np.isfinite(i).all() for i in imgs)
+        assert imgs[-1].mean() > 0.01
+        assert int(state.frame) == 3
