@@ -1,0 +1,133 @@
+"""Auxiliary subsystems: render graph, bake pipeline, adaptive inspector,
+IES parsing, bilateral upsampling."""
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.fixtures import CBOX_JSON
+from vision_tpu.scene.scene import Scene
+
+
+def small_scene(res=24):
+    s = copy.deepcopy(CBOX_JSON)
+    s["camera"]["param"]["radiance_collector"]["param"]["resolution"] = [res, res]
+    return Scene(s)
+
+
+class TestRenderGraph:
+    def test_topo_and_execute(self):
+        from vision_tpu.pipelines.graph import RenderGraph
+        g = RenderGraph()
+        log = []
+        g.add_pass("c", lambda r, c: {"z": r["y"] + 1}, ("y",), ("z",))
+        g.add_pass("a", lambda r, c: {"x": 1}, (), ("x",))
+        g.add_pass("b", lambda r, c: {"y": r["x"] * 2}, ("x",), ("y",))
+        out = g.execute()
+        assert out["z"] == 3
+        assert [p.name for p in g._order] == ["a", "b", "c"]
+
+    def test_cycle_detection(self):
+        from vision_tpu.pipelines.graph import RenderGraph
+        g = RenderGraph()
+        g.add_pass("a", lambda r, c: {}, ("y",), ("x",))
+        g.add_pass("b", lambda r, c: {}, ("x",), ("y",))
+        try:
+            g.compile()
+            assert False, "cycle not detected"
+        except ValueError:
+            pass
+
+    def test_default_graph_renders(self):
+        from vision_tpu.pipelines.graph import default_graph
+        sc = small_scene(24)
+        g = default_graph(sc.data, sc.camera, sc.filter)
+        out = g.execute(ctx={"frame_index": jnp.uint32(0), "max_depth": 2,
+                             "tone_mapper": "aces"})
+        img = np.asarray(out["output"])
+        assert img.shape == (24, 24, 3)
+        assert np.isfinite(img).all() and img.max() <= 1.0
+
+
+class TestBake:
+    def test_unwrap_charts_disjoint(self):
+        from vision_tpu.pipelines.bake import unwrap_triangles
+        sc = small_scene()
+        p0 = np.asarray(sc.data.tri_p0)
+        e1 = np.asarray(sc.data.tri_e1)
+        e2 = np.asarray(sc.data.tri_e2)
+        uv0, uv1, uv2, (W, H) = unwrap_triangles(p0, e1, e2, 128)
+        assert (uv0 >= 0).all() and (uv0[:, 0] <= W).all()
+
+    def test_bake_lightmap(self):
+        from vision_tpu.pipelines.bake import bake_lightmap
+        sc = small_scene()
+        lm, charts = bake_lightmap(sc.data, lightmap_res=64, spp=4,
+                                   max_depth=2)
+        assert np.isfinite(lm).all()
+        assert lm.max() > 0.05  # lit scene produces radiance
+        # covered fraction reasonable
+        assert (lm.sum(-1) > 0).mean() > 0.2
+
+
+class TestAdaptive:
+    def test_variance_tracking(self):
+        from vision_tpu.integrator import adaptive
+        st = adaptive.InspectorState.initial(4)
+        rs = np.random.RandomState(0)
+        # pixel 0: constant; pixel 1: noisy
+        for _ in range(32):
+            rgb = np.zeros((4, 3), np.float32)
+            rgb[0] = 0.5
+            rgb[1] = 0.5 + rs.randn() * 0.4
+            rgb[2] = 0.1
+            rgb[3] = rs.rand()
+            st = adaptive.update(st, jnp.asarray(rgb))
+        conv = np.asarray(adaptive.is_converged(st, threshold=0.05))
+        assert conv[0] and conv[2]
+        assert not conv[1]
+
+
+IES_SAMPLE = """IESNA:LM-63-1995
+[TEST] sample
+TILT=NONE
+1 1000 1 5 2 1 2 0 0 0
+1 1 0
+0 45 90 135 180
+0 90
+1000 800 500 200 0
+1000 800 500 200 0
+"""
+
+
+class TestIES:
+    def test_parse_and_eval(self):
+        from vision_tpu.lights.ies import IESProfile, eval_ies
+        prof = IESProfile.parse(IES_SAMPLE)
+        assert prof.candela.shape == (2, 5)
+        assert prof.max_candela == 1000.0
+        tbl = prof.to_table(32)
+        # downward peak, zero at 180
+        v0 = float(eval_ies(tbl, jnp.asarray(1.0)))
+        v180 = float(eval_ies(tbl, jnp.asarray(-1.0)))
+        assert v0 > 0.95 and v180 < 0.05
+
+
+class TestUpsample:
+    def test_bilateral_upsample_shapes_and_edges(self):
+        from vision_tpu.post.upsample import bilateral_upsample
+        h = w = 16
+        H = W = 32
+        low = np.zeros((h, w, 3), np.float32)
+        low[:, : w // 2] = 1.0
+        normal = np.tile(np.asarray([0, 0, 1.0], np.float32), (H, W, 1))
+        # depth edge along the middle column
+        depth = np.ones((H, W), np.float32)
+        depth[:, W // 2:] = 5.0
+        out = np.asarray(bilateral_upsample(jnp.asarray(low),
+                                            jnp.asarray(normal),
+                                            jnp.asarray(depth)))
+        assert out.shape == (H, W, 3)
+        assert np.isfinite(out).all()
+        assert out[:, : W // 4].mean() > 0.9
+        assert out[:, -W // 4:].mean() < 0.1

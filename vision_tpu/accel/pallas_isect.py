@@ -82,8 +82,8 @@ def _closest_kernel(n_chunks, rays_ref, p0_ref, e1_ref, e2_ref, out_ref):
         t, u, v, ok = _mt_chunk(rays_ref, p0_ref, e1_ref, e2_ref, ci)
         ok = ok & (t < bt)
         t = jnp.where(ok, t, 3e38)
-        # column index of chunk-minimum
-        col = jax.lax.broadcasted_iota(jnp.float32, t.shape, 1)
+        # column index of chunk-minimum (int iota; f32 iota is invalid on TPU)
+        col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1).astype(jnp.float32)
         tmin = jnp.min(t, axis=1, keepdims=True)
         better = tmin < bt
         at_min = t == tmin

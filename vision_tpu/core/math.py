@@ -65,7 +65,9 @@ def sqr(x):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # 1e-20 floor (not 0): sqrt'(0) = inf poisons reverse-mode cotangents
+    # through unselected jnp.where branches (0 * inf = NaN)
+    return jnp.sqrt(jnp.maximum(x, 1e-20))
 
 
 def safe_div(a, b, eps=0.0):

@@ -1,0 +1,89 @@
+"""ctypes bindings for the native host runtime (native/libvision_native.so).
+
+Provides fast OBJ parsing and Morton sorting with transparent fallback to
+the pure-Python implementations when the library isn't built. Build with
+`make -C native` (auto-attempted on first import).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_DIR, "libvision_native.so")
+_lib = None
+
+
+class _MeshBlob(ctypes.Structure):
+    _fields_ = [
+        ("positions", ctypes.POINTER(ctypes.c_float)),
+        ("normals", ctypes.POINTER(ctypes.c_float)),
+        ("uvs", ctypes.POINTER(ctypes.c_float)),
+        ("triangles", ctypes.POINTER(ctypes.c_int32)),
+        ("n_verts", ctypes.c_int64),
+        ("n_tris", ctypes.c_int64),
+    ]
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            _lib = False
+            return False
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.vt_load_obj.argtypes = [ctypes.c_char_p, ctypes.POINTER(_MeshBlob)]
+        lib.vt_load_obj.restype = ctypes.c_int32
+        lib.vt_free_mesh.argtypes = [ctypes.POINTER(_MeshBlob)]
+        lib.vt_morton_sort.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except OSError:
+        _lib = False
+    return _lib
+
+
+def available():
+    return bool(_load())
+
+
+def load_obj_native(path):
+    """Fast OBJ load. Returns (positions [V,3], normals [V,3], uvs [V,2],
+    triangles [T,3]) or None if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    blob = _MeshBlob()
+    rc = lib.vt_load_obj(os.fsencode(path), ctypes.byref(blob))
+    if rc != 0:
+        return None
+    nv, nt = blob.n_verts, blob.n_tris
+    P = np.ctypeslib.as_array(blob.positions, (nv, 3)).copy()
+    N = np.ctypeslib.as_array(blob.normals, (nv, 3)).copy()
+    UV = np.ctypeslib.as_array(blob.uvs, (nv, 2)).copy()
+    T = np.ctypeslib.as_array(blob.triangles, (nt, 3)).copy()
+    lib.vt_free_mesh(ctypes.byref(blob))
+    return P, N, UV, T
+
+
+def morton_sort_native(centroids):
+    """Morton-order permutation of [N,3] centroids, or None."""
+    lib = _load()
+    if not lib:
+        return None
+    c = np.ascontiguousarray(centroids, np.float32)
+    n = len(c)
+    order = np.empty(n, np.int32)
+    lib.vt_morton_sort(c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       n, order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return order.astype(np.int64)

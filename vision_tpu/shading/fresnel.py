@@ -69,8 +69,8 @@ def fresnel_complex(cos_theta_i, eta, k):
     ci = -sti
     # complex sqrt
     r = jnp.sqrt(jnp.maximum(sqr(cr) + sqr(ci), 1e-20))
-    ctr = jnp.sqrt(jnp.maximum((r + cr) * 0.5, 0.0))
-    cti = jnp.sign(ci) * jnp.sqrt(jnp.maximum((r - cr) * 0.5, 0.0))
+    ctr = jnp.sqrt(jnp.maximum((r + cr) * 0.5, 1e-20))
+    cti = jnp.sign(ci) * jnp.sqrt(jnp.maximum((r - cr) * 0.5, 1e-20))
     # r_parl = (eta*ci - ct) / (eta*ci + ct)
     num_r = er * cos_theta_i - ctr
     num_i = ei * cos_theta_i - cti
