@@ -106,7 +106,12 @@ class Scene:
         for sdesc in raw.get("shapes", []):
             stype = sdesc.get("type", "quad")
             p = sdesc.get("param", {})
-            mesh = shp.make_shape(stype, p, self.scene_dir)
+            try:
+                mesh = shp.make_shape(stype, p, self.scene_dir)
+            except (FileNotFoundError, ValueError) as e:
+                import warnings
+                warnings.warn(f"skipping shape '{sdesc.get('name')}': {e}")
+                continue
             m = xf.from_json(p.get("transform"))
             world = mesh.transformed(m)
             inst_id = len(inst_mat)
