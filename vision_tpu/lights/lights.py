@@ -231,8 +231,12 @@ def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2,
     txy = table.tan_xy[lid]
     uv_pr = (pxy + txy) / (2.0 * txy)
     in_frame = valid_pr & jnp.all((uv_pr >= 0.0) & (uv_pr <= 1.0), -1)
-    tex_pr = atlas.sample(ctex, uv_pr)
-    proj_col = jnp.where((ctex >= 0)[..., None], tex_pr, jnp.ones_like(tex_pr))
+    if getattr(atlas, "has_textures", True):
+        tex_pr = atlas.sample(ctex, uv_pr)
+        proj_col = jnp.where((ctex >= 0)[..., None], tex_pr,
+                             jnp.ones_like(tex_pr))
+    else:
+        proj_col = jnp.ones(uv_pr.shape[:-1] + (3,))
     L_pr = color * proj_col / d2[..., None] * in_frame[..., None]
 
     # ---- spherical env: alias over pixels

@@ -80,6 +80,7 @@ class AtlasBuilder:
             offset=jnp.asarray(offsets, jnp.int32),
             width=jnp.asarray(widths, jnp.int32),
             height=jnp.asarray(heights, jnp.int32),
+            n_real=len(self.by_key),
         )
 
 
@@ -89,6 +90,11 @@ class TextureAtlas:
     offset: jnp.ndarray   # [T] int32
     width: jnp.ndarray    # [T]
     height: jnp.ndarray   # [T]
+    n_real: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def has_textures(self):
+        return self.n_real > 0
 
     def sample(self, tex_id, uv):
         """Bilinear sample, repeat wrap. tex_id [...] int32, uv [..., 2].

@@ -395,24 +395,30 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
             return spectrum.decode_albedo(rgb, swl)
         return rgb
 
+    textured = getattr(atlas, "has_textures", True)
+
     kd = g(table.kd)
-    kd_tex = g(table.kd_tex)
-    kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv), kd)
+    if textured:
+        kd_tex = g(table.kd_tex)
+        kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv), kd)
     kd = decode_alb(kd)
 
     spec_tint = g(table.spec_tint)
-    spec_tex = g(table.spec_tex)
-    spec_tint = jnp.where((spec_tex >= 0)[..., None],
-                          atlas.sample(spec_tex, uv), spec_tint)
+    if textured:
+        spec_tex = g(table.spec_tex)
+        spec_tint = jnp.where((spec_tex >= 0)[..., None],
+                              atlas.sample(spec_tex, uv), spec_tint)
     spec_tint = decode_alb(spec_tint)
 
     ax = g(table.ax)
     ay = g(table.ay)
-    rough_tex = g(table.rough_tex)
-    r_sample = atlas.sample(rough_tex, uv)[..., 0]
-    r_alpha = jnp.where(g(table.rough_remap) > 0, r_sample * r_sample, r_sample)
-    ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)
-    ay = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ay)
+    if textured:
+        rough_tex = g(table.rough_tex)
+        r_sample = atlas.sample(rough_tex, uv)[..., 0]
+        r_alpha = jnp.where(g(table.rough_remap) > 0, r_sample * r_sample,
+                            r_sample)
+        ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)
+        ay = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ay)
 
     # dielectric eta: scalar, or per-lambda Sellmeier when dispersive + hero
     disp_id = g(table.dispersive_id)
