@@ -66,30 +66,32 @@ def trace_occluded(scene, ray):
 def compute_interaction(scene, ray, hit):
     """Surface interaction from a hit (geometry.cpp:79-166
     compute_surface_interaction): barycentric lerp of position/uv/normal,
-    shading frame from shading normal."""
+    shading frame from shading normal. One packed-row gather per lane
+    (scene.tri_pack) instead of ~12 strided [T, 3] gathers."""
     pid = jnp.maximum(hit.prim_id, 0)
     b1 = hit.bary[..., 0]
     b2 = hit.bary[..., 1]
     b0 = 1.0 - b1 - b2
-    p0 = scene.tri_p0[pid]
-    e1 = scene.tri_e1[pid]
-    e2 = scene.tri_e2[pid]
+    a = scene.tri_pack[pid]
+    p0 = a[..., 0:3]
+    e1 = a[..., 3:6]
+    e2 = a[..., 6:9]
     pos = p0 + b1[..., None] * e1 + b2[..., None] * e2
     ng = normalize(cross(e1, e2))
-    ns = normalize(b0[..., None] * scene.tri_n0[pid]
-                   + b1[..., None] * scene.tri_n1[pid]
-                   + b2[..., None] * scene.tri_n2[pid])
+    ns = normalize(b0[..., None] * a[..., 9:12]
+                   + b1[..., None] * a[..., 12:15]
+                   + b2[..., None] * a[..., 15:18])
     # degenerate vertex normals -> geometric
     ns_ok = jnp.sum(ns * ns, -1) > 0.5
     ns = jnp.where(ns_ok[..., None], ns, ng)
     # align ns with ng hemisphere (reference keeps ng as orientation ref)
     ns = face_forward(ns, ng)
-    uv = (b0[..., None] * scene.tri_uv0[pid]
-          + b1[..., None] * scene.tri_uv1[pid]
-          + b2[..., None] * scene.tri_uv2[pid])
-    inst = scene.tri_inst[pid]
-    mat_id = scene.inst_mat[inst]
-    light_id = scene.inst_light[inst]
+    uv = (b0[..., None] * a[..., 18:20]
+          + b1[..., None] * a[..., 20:22]
+          + b2[..., None] * a[..., 22:24])
+    inst = a[..., 24].astype(jnp.int32)
+    mat_id = a[..., 25].astype(jnp.int32)
+    light_id = a[..., 26].astype(jnp.int32)
     return pos, ng, ns, uv, inst, mat_id, light_id
 
 

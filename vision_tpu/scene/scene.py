@@ -41,6 +41,7 @@ class SceneData:
     tri_uv1: jnp.ndarray
     tri_uv2: jnp.ndarray
     tri_inst: jnp.ndarray  # [T] int32
+    tri_pack: jnp.ndarray  # [T, 32] packed attrs: p0 e1 e2 n0 n1 n2 uv012 inst mat light
     inst_mat: jnp.ndarray  # [I] int32
     inst_light: jnp.ndarray  # [I] int32 (-1 = not emissive)
     materials: object      # MaterialTable
@@ -327,6 +328,24 @@ class Scene:
                              axis=1).reshape(-1, 3)
             bvh = build_bvh(verts, tris)
 
+        # packed per-triangle attribute rows: one gather per hit instead of
+        # ~12 separate [T, 3] gathers (measured 25 ms/bounce at 512^2)
+        n_tris_ = max(len(t["p0"]), 1)
+        tri_pack = np.zeros((n_tris_, 32), np.float32)
+        if len(t["p0"]):
+            tri_pack[:, 0:3] = t["p0"]
+            tri_pack[:, 3:6] = t["e1"]
+            tri_pack[:, 6:9] = t["e2"]
+            tri_pack[:, 9:12] = t["n0"]
+            tri_pack[:, 12:15] = t["n1"]
+            tri_pack[:, 15:18] = t["n2"]
+            tri_pack[:, 18:20] = t["uv0"]
+            tri_pack[:, 20:22] = t["uv1"]
+            tri_pack[:, 22:24] = t["uv2"]
+            tri_pack[:, 24] = t["inst"].astype(np.float32)
+            tri_pack[:, 25] = self.inst_mat[t["inst"]].astype(np.float32)
+            tri_pack[:, 26] = self.inst_light[t["inst"]].astype(np.float32)
+
         p_all = np.concatenate([t["p0"], t["p0"] + t["e1"], t["p0"] + t["e2"]], 0)
         if len(p_all):
             center = 0.5 * (p_all.min(0) + p_all.max(0))
@@ -342,6 +361,7 @@ class Scene:
             tri_uv0=jnp.asarray(t["uv0"]), tri_uv1=jnp.asarray(t["uv1"]),
             tri_uv2=jnp.asarray(t["uv2"]),
             tri_inst=jnp.asarray(t["inst"]),
+            tri_pack=jnp.asarray(tri_pack),
             inst_mat=jnp.asarray(self.inst_mat),
             inst_light=jnp.asarray(self.inst_light),
             materials=self.material_table,

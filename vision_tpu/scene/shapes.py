@@ -192,11 +192,29 @@ def load_obj(path, smooth=True):
 
 
 def load_model(path, **kw):
-    """Dispatch by extension. OBJ native; other formats via trimesh-free
-    fallbacks can be added (gltf/ply)."""
+    """Dispatch by extension: OBJ (native C++ parser when built, Python
+    fallback), glTF/GLB."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
+        try:
+            from .. import native
+            out = native.load_obj_native(path)
+        except Exception:
+            out = None
+        if out is not None:
+            P, N, UV, T = out
+            if len(T) and not np.any(np.abs(N).sum(-1) > 0):
+                p0, p1, p2 = P[T[:, 0]], P[T[:, 1]], P[T[:, 2]]
+                fn = np.cross(p1 - p0, p2 - p0)
+                N = np.zeros_like(P)
+                for k in range(3):
+                    np.add.at(N, T[:, k], fn)
+                N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+            return TriMesh(P, N, UV, T)
         return load_obj(path, **kw)
+    if ext in (".gltf", ".glb"):
+        from .gltf import load_gltf
+        return load_gltf(path)
     raise ValueError(f"unsupported mesh format: {ext}")
 
 
