@@ -34,8 +34,15 @@ from ..lights import lights as lt
 RAY_OFFSET = 2e-4
 
 
-def _on_tpu():
+def _use_pallas_isect():
+    """Standalone the Pallas sweep wins (12ms vs 22ms at 512^2 x 36 tris),
+    but inside the bounce loop the ray-packing breaks XLA fusion and loses
+    (717ms vs 314ms full pass) — so it is opt-in until the packed-ray
+    wavefront refactor lands."""
+    import os
     import jax
+    if os.environ.get("VT_USE_PALLAS_ISECT") != "1":
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
@@ -45,7 +52,7 @@ def _on_tpu():
 def trace_closest(scene, ray):
     if scene.bvh is not None:
         return isect.intersect_bvh(ray, scene.bvh)
-    if _on_tpu():
+    if _use_pallas_isect():
         from ..accel.pallas_isect import intersect_pallas
         return intersect_pallas(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
     return isect.intersect_brute(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
@@ -55,7 +62,7 @@ def trace_occluded(scene, ray):
     if scene.bvh is not None:
         hit = isect.intersect_bvh(ray, scene.bvh, any_hit=True)
         return hit.prim_id >= 0
-    if _on_tpu():
+    if _use_pallas_isect():
         from ..accel.pallas_isect import intersect_pallas
         hit = intersect_pallas(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2,
                                any_hit=True)

@@ -73,6 +73,14 @@ class LobeParams:
     # disney extras
     flatness: jnp.ndarray
     metallic: jnp.ndarray
+    # static lobe-usage flags (computed from the material table at scene
+    # build): unused lobe families compile to nothing
+    feats: tuple = struct.field(pytree_node=False,
+                                default=("diff", "spec", "trans", "cc",
+                                         "sheen", "oren", "blend", "disney"))
+
+    def has(self, name):
+        return name in self.feats
 
 
 @struct.dataclass
@@ -137,42 +145,45 @@ def _oren_nayar_AB(sigma):
 
 
 def _eval_diffuse(p, wo, wi):
-    """Diffuse lobe f [..., S] (reflection only, same hemisphere)."""
-    # lambert / oren-nayar
+    """Diffuse lobe f [..., S] (reflection only, same hemisphere). Variant
+    formulas compile only when a scene material uses them (p.feats)."""
     from ..core.math import sin_theta as _sin_theta, cos_phi as _cos_phi, sin_phi as _sin_phi
-    A, B = _oren_nayar_AB(p.sigma)
-    sin_ti, sin_to = _sin_theta(wi), _sin_theta(wo)
-    cos_dphi = _cos_phi(wi) * _cos_phi(wo) + _sin_phi(wi) * _sin_phi(wo)
-    max_cos = jnp.maximum(0.0, cos_dphi)
     abs_ci, abs_co = abs_cos_theta(wi), abs_cos_theta(wo)
-    sin_alpha = jnp.where(abs_ci > abs_co, sin_to, sin_ti)
-    tan_beta = jnp.where(abs_ci > abs_co,
-                         safe_div(sin_ti, abs_ci), safe_div(sin_to, abs_co))
-    on = (A + B * max_cos * sin_alpha * tan_beta)
-    f_lambert = p.kd * (InvPi * jnp.where(p.sigma > 0.0, on, 1.0))[..., None]
 
-    # substrate diffuse (FresnelBlend, substrate.cpp f_diffuse)
-    Rs = p.eta3  # schlick F0 doubles as Rs
-    w5 = (1.0 - fr.schlick_weight(0.5 * abs_ci)) * (1.0 - fr.schlick_weight(0.5 * abs_co))
-    f_blend = (28.0 / (23.0 * Pi)) * p.kd * (1.0 - Rs) * w5[..., None]
+    if p.has("oren"):
+        A, B = _oren_nayar_AB(p.sigma)
+        sin_ti, sin_to = _sin_theta(wi), _sin_theta(wo)
+        cos_dphi = _cos_phi(wi) * _cos_phi(wo) + _sin_phi(wi) * _sin_phi(wo)
+        max_cos = jnp.maximum(0.0, cos_dphi)
+        sin_alpha = jnp.where(abs_ci > abs_co, sin_to, sin_ti)
+        tan_beta = jnp.where(abs_ci > abs_co,
+                             safe_div(sin_ti, abs_ci), safe_div(sin_to, abs_co))
+        on = (A + B * max_cos * sin_alpha * tan_beta)
+        f_lambert = p.kd * (InvPi * jnp.where(p.sigma > 0.0, on, 1.0))[..., None]
+    else:
+        f_lambert = p.kd * InvPi
 
-    # disney diffuse + retro-reflection (principled_bsdf.cpp / Burley 2015)
-    wh = wo + wi
-    wh_n = normalize(wh)
-    cos_d = dot(wi, wh_n)
-    fo = fr.schlick_weight(abs_co)
-    fi = fr.schlick_weight(abs_ci)
-    f_base = (1.0 - fo / 2.0) * (1.0 - fi / 2.0)
-    rr = 2.0 * p.ax * 0.0 + 2.0 * sqr(cos_d) * jnp.sqrt(jnp.maximum(p.ax * p.ay, 1e-8))
-    # retro uses roughness: recover from alpha
-    roughness = jnp.sqrt(jnp.sqrt(jnp.maximum(p.ax * p.ay, 1e-12)))
-    rr = 2.0 * roughness * sqr(cos_d)
-    f_retro = rr * (fo + fi + fo * fi * (rr - 1.0))
-    f_disney = p.kd * (InvPi * (f_base + f_retro))[..., None]
+    f = f_lambert
+    if p.has("blend"):
+        # substrate diffuse (FresnelBlend, substrate.cpp f_diffuse)
+        Rs = p.eta3  # schlick F0 doubles as Rs
+        w5 = (1.0 - fr.schlick_weight(0.5 * abs_ci)) * (1.0 - fr.schlick_weight(0.5 * abs_co))
+        f_blend = (28.0 / (23.0 * Pi)) * p.kd * (1.0 - Rs) * w5[..., None]
+        f = jnp.where((p.diffuse_kind == DIFF_FRESNEL_BLEND)[..., None],
+                      f_blend, f)
+    if p.has("disney"):
+        # disney diffuse + retro-reflection (principled_bsdf.cpp / Burley 2015)
+        wh_n = normalize(wo + wi)
+        cos_d = dot(wi, wh_n)
+        fo = fr.schlick_weight(abs_co)
+        fi = fr.schlick_weight(abs_ci)
+        f_base = (1.0 - fo / 2.0) * (1.0 - fi / 2.0)
+        roughness = jnp.sqrt(jnp.sqrt(jnp.maximum(p.ax * p.ay, 1e-12)))
+        rr = 2.0 * roughness * sqr(cos_d)
+        f_retro = rr * (fo + fi + fo * fi * (rr - 1.0))
+        f_disney = p.kd * (InvPi * (f_base + f_retro))[..., None]
+        f = jnp.where((p.diffuse_kind == DIFF_DISNEY)[..., None], f_disney, f)
 
-    k = p.diffuse_kind[..., None]
-    f = jnp.where(k == DIFF_FRESNEL_BLEND, f_blend,
-        jnp.where(k == DIFF_DISNEY, f_disney, f_lambert))
     valid = same_hemisphere(wo, wi)
     return jnp.where(valid[..., None], f, 0.0)
 
@@ -277,13 +288,18 @@ def _lobe_weights(p, wo):
     F_diel = _dielectric_F0(p, wo)          # [..., S]
     mean_F = _mean_s(_eval_fresnel(p, wo[..., 2]))
 
-    w_diff = p.diffuse_weight * _mean_s(p.kd)
+    zero = jnp.zeros(p.kd.shape[:-1])
+    w_diff = p.diffuse_weight * _mean_s(p.kd) if p.has("diff") else zero
     is_diel = p.fr_mode == fr.FR_DIELECTRIC
     spec_F = jnp.where(is_diel, _mean_s(F_diel), mean_F)
-    w_spec = p.spec_weight * _mean_s(p.spec_tint) * jnp.maximum(spec_F, 0.02)
-    w_trans = p.trans_weight * _mean_s(p.spec_tint) * jnp.maximum(1.0 - _mean_s(F_diel), 0.0)
-    w_cc = p.cc_weight * 0.25
-    w_sheen = p.sheen_weight * _mean_s(p.sheen_tint) * 0.08
+    w_spec = (p.spec_weight * _mean_s(p.spec_tint) * jnp.maximum(spec_F, 0.02)
+              if p.has("spec") else zero)
+    w_trans = (p.trans_weight * _mean_s(p.spec_tint)
+               * jnp.maximum(1.0 - _mean_s(F_diel), 0.0)
+               if p.has("trans") else zero)
+    w_cc = p.cc_weight * 0.25 if p.has("cc") else zero
+    w_sheen = (p.sheen_weight * _mean_s(p.sheen_tint) * 0.08
+               if p.has("sheen") else zero)
     w = jnp.stack([w_diff, w_spec, w_trans, w_cc, w_sheen], axis=-1)
     total = jnp.sum(w, axis=-1, keepdims=True)
     return safe_div(w, total), total[..., 0]
@@ -294,22 +310,31 @@ def _lobe_weights(p, wo):
 # ---------------------------------------------------------------------------
 
 def evaluate(p, wo, wi):
-    """Full BSDF eval at local (wo, wi): ScatterEval(f [..., S], pdf)."""
+    """Full BSDF eval at local (wo, wi): ScatterEval(f [..., S], pdf).
+    Unused lobe families (p.feats) compile to nothing."""
     probs, total = _lobe_weights(p, wo)
-    f_d = _eval_diffuse(p, wo, wi) * p.diffuse_weight[..., None]
-    pdf_d = _pdf_diffuse(p, wo, wi)
-    f_s, pdf_s = _eval_spec_reflect(p, wo, wi)
-    f_s = f_s * p.spec_weight[..., None]
-    f_t, pdf_t = _eval_spec_transmit(p, wo, wi)
-    f_t = f_t * p.trans_weight[..., None]
-    f_c, pdf_c = _eval_clearcoat(p, wo, wi)
-    f_c = f_c * p.cc_weight[..., None]
-    f_sh, pdf_sh = _eval_sheen(p, wo, wi)
-    f_sh = f_sh * p.sheen_weight[..., None]
+    f = jnp.zeros_like(p.kd)
+    pdf = jnp.zeros(p.kd.shape[:-1])
+    if p.has("diff"):
+        f = f + _eval_diffuse(p, wo, wi) * p.diffuse_weight[..., None]
+        pdf = pdf + probs[..., 0] * _pdf_diffuse(p, wo, wi)
+    if p.has("spec"):
+        f_s, pdf_s = _eval_spec_reflect(p, wo, wi)
+        f = f + f_s * p.spec_weight[..., None]
+        pdf = pdf + probs[..., 1] * pdf_s
+    if p.has("trans"):
+        f_t, pdf_t = _eval_spec_transmit(p, wo, wi)
+        f = f + f_t * p.trans_weight[..., None]
+        pdf = pdf + probs[..., 2] * pdf_t
+    if p.has("cc"):
+        f_c, pdf_c = _eval_clearcoat(p, wo, wi)
+        f = f + f_c * p.cc_weight[..., None]
+        pdf = pdf + probs[..., 3] * pdf_c
+    if p.has("sheen"):
+        f_sh, pdf_sh = _eval_sheen(p, wo, wi)
+        f = f + f_sh * p.sheen_weight[..., None]
+        pdf = pdf + probs[..., 4] * pdf_sh
 
-    f = f_d + f_s + f_t + f_c + f_sh
-    pdf = (probs[..., 0] * pdf_d + probs[..., 1] * pdf_s + probs[..., 2] * pdf_t
-           + probs[..., 3] * pdf_c + probs[..., 4] * pdf_sh)
     valid = (total > 0.0) & (abs_cos_theta(wo) > 1e-7)
     f = jnp.where(valid[..., None], f, 0.0)
     pdf = jnp.where(valid, pdf, 0.0)
@@ -340,27 +365,28 @@ def sample(p, wo, state):
     sgn = jnp.where(sgn == 0.0, 1.0, sgn)
 
     # lobe 0/4: cosine hemisphere on wo side
-    wi_diff = warp.square_to_cosine_hemisphere(u2) * sgn
+    wi = warp.square_to_cosine_hemisphere(u2) * sgn
 
-    # lobe 1: reflect about sampled wh
-    wh = mf.sample_wh_ggx(wo, u2, p.ax, p.ay)
-    wi_spec = reflect(wo, wh)
-
-    # lobe 2: refract about sampled wh
-    eta_rel = _hemi_eta(p, wo)
-    wh_t = wh * jnp.sign(dot(wh, wo))[..., None]  # same side as wo
-    ref_ok, wi_trans = refract(wo, wh_t, eta_rel)
-    # total internal reflection -> fall back to reflection
-    wi_trans = jnp.where(ref_ok[..., None], wi_trans, reflect(wo, wh_t))
-
-    # lobe 3: clearcoat wh
-    wh_c = mf.sample_wh_ggx(wo, u2, p.cc_alpha, p.cc_alpha)
-    wi_cc = reflect(wo, wh_c)
-
-    wi = jnp.where((lobe == 0)[..., None], wi_diff,
-         jnp.where((lobe == 1)[..., None], wi_spec,
-         jnp.where((lobe == 2)[..., None], jnp.where(ref_ok[..., None], wi_trans, wi_spec),
-         jnp.where((lobe == 3)[..., None], wi_cc, wi_diff))))
+    if p.has("spec") or p.has("trans"):
+        # lobe 1: reflect about sampled wh
+        wh = mf.sample_wh_ggx(wo, u2, p.ax, p.ay)
+        wi_spec = reflect(wo, wh)
+        wi = jnp.where((lobe == 1)[..., None], wi_spec, wi)
+    if p.has("trans"):
+        # lobe 2: refract about sampled wh
+        eta_rel = _hemi_eta(p, wo)
+        wh_t = wh * jnp.sign(dot(wh, wo))[..., None]  # same side as wo
+        ref_ok, wi_trans = refract(wo, wh_t, eta_rel)
+        # total internal reflection -> fall back to reflection
+        wi_trans = jnp.where(ref_ok[..., None], wi_trans, reflect(wo, wh_t))
+        wi = jnp.where((lobe == 2)[..., None], wi_trans, wi)
+    else:
+        ref_ok = jnp.ones(wo.shape[:-1], bool)
+    if p.has("cc"):
+        # lobe 3: clearcoat wh
+        wh_c = mf.sample_wh_ggx(wo, u2, p.cc_alpha, p.cc_alpha)
+        wi_cc = reflect(wo, wh_c)
+        wi = jnp.where((lobe == 3)[..., None], wi_cc, wi)
     wi = normalize(wi)
 
     ev = evaluate(p, wo, wi)

@@ -53,6 +53,11 @@ class MaterialTable:
     glass_coeffs: jnp.ndarray   # [G, 6] Sellmeier B1 C1 B2 C2 B3 C3
     metal_eta_spd: jnp.ndarray  # [Mt, 95]
     metal_k_spd: jnp.ndarray    # [Mt, 95]
+    # static lobe-usage flags: which lobe families any material uses
+    feats: tuple = struct.field(
+        pytree_node=False,
+        default=("diff", "spec", "trans", "cc", "sheen", "oren", "blend",
+                 "disney"))
 
 
 def _default_row():
@@ -362,6 +367,25 @@ class MaterialCompiler:
             k_rows.append(kk)
         arrs["metal_eta_spd"] = jnp.asarray(np.stack(eta_rows))
         arrs["metal_k_spd"] = jnp.asarray(np.stack(k_rows))
+        feats = []
+        rows = self.rows
+        if any(r["diffuse_weight"] > 0 for r in rows):
+            feats.append("diff")
+        if any(r["spec_weight"] > 0 for r in rows):
+            feats.append("spec")
+        if any(r["trans_weight"] > 0 for r in rows):
+            feats.append("trans")
+        if any(r["cc_weight"] > 0 for r in rows):
+            feats.append("cc")
+        if any(r["sheen_weight"] > 0 for r in rows):
+            feats.append("sheen")
+        if any(r["sigma"] > 0 for r in rows):
+            feats.append("oren")
+        if any(r["diffuse_kind"] == bsdf.DIFF_FRESNEL_BLEND for r in rows):
+            feats.append("blend")
+        if any(r["diffuse_kind"] == bsdf.DIFF_DISNEY for r in rows):
+            feats.append("disney")
+        arrs["feats"] = tuple(feats)
         return MaterialTable(**arrs)
 
 
@@ -458,5 +482,8 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
         sheen_weight=g(table.sheen_weight) * wvalid,
         sheen_tint=sheen_tint,
         flatness=g(table.flatness), metallic=g(table.metallic),
+        feats=getattr(table, "feats",
+                      ("diff", "spec", "trans", "cc", "sheen", "oren",
+                       "blend", "disney")),
     )
     return params, dispersive & valid
