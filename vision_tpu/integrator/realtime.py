@@ -55,11 +55,13 @@ def indirect_bounce(scene, gb, state, max_depth=3):
 
 
 def render_realtime(scene, camera, rt_state, m_light=8, spatial_taps=2,
-                    svgf_passes=3, gi=True):
-    """One real-time frame. Returns (display image [H, W, 3], new state)."""
+                    svgf_passes=3, gi=True, prev_camera=None):
+    """One real-time frame. Returns (display image [H, W, 3], new state).
+    Pass prev_camera when the camera moved so motion vectors reproject
+    correctly (sensor.cpp store_prev_data analog)."""
     W, H = camera.resolution
     frame = rt_state.frame
-    prev_cam = camera  # camera motion threading: caller passes prev camera via closure if needed
+    prev_cam = prev_camera if prev_camera is not None else camera
 
     gb = compute_gbuffer(scene, camera, frame, prev_camera=prev_cam)
     n = W * H
