@@ -171,3 +171,29 @@ class TestMicrofacet:
         w = np.asarray(wh)
         np.testing.assert_allclose(np.linalg.norm(w, axis=-1), 1.0, atol=1e-4)
         assert (w[:, 2] > 0).all()
+
+
+class TestEnergyCompensation:
+    def test_rough_mirror_furnace_recovers(self):
+        """Kulla-Conty multiple-scattering lobe restores the energy a rough
+        single-scatter GGX loses (MirrorLobe::compensate parity)."""
+        import os
+        lut_path = os.path.join(os.path.dirname(__file__), "..",
+                                "vision_tpu", "data", "ggx_energy.npz")
+        if not os.path.exists(lut_path):
+            pytest.skip("energy LUT not generated")
+        lut = np.load(lut_path)
+
+        def mk(n):
+            p = make_params(n, spec_weight=1.0, fr_mode=frs.FR_CONSTANT,
+                            ax=0.5, ay=0.5)
+            return p.replace(feats=p.feats + ("ems",),
+                             ems_E=jnp.asarray(lut["E"]),
+                             ems_Eavg=jnp.asarray(lut["E_avg"]))
+
+        e_raw = furnace(lambda n: make_params(n, spec_weight=1.0,
+                                              fr_mode=frs.FR_CONSTANT,
+                                              ax=0.5, ay=0.5))
+        e_comp = furnace(mk)
+        assert e_raw < 0.8
+        assert abs(e_comp - 1.0) < 0.08, e_comp

@@ -78,6 +78,11 @@ class LobeParams:
     feats: tuple = struct.field(pytree_node=False,
                                 default=("diff", "spec", "trans", "cc",
                                          "sheen", "oren", "blend", "disney"))
+    # GGX directional-albedo LUT (shared rows, not per-lane) for the
+    # Kulla-Conty multiple-scattering lobe (tools/gen_energy_lut.py;
+    # PureReflectionLobe energy compensation in the reference)
+    ems_E: jnp.ndarray = None       # [Na, Nmu]
+    ems_Eavg: jnp.ndarray = None    # [Na]
 
     def has(self, name):
         return name in self.feats
@@ -282,6 +287,50 @@ def _mean_s(x):
     return jnp.mean(x, axis=-1)
 
 
+def _lut_E(p, alpha, mu):
+    """Bilinear fetch of the GGX single-scatter albedo E(alpha, mu)."""
+    E = p.ems_E
+    na, nm = E.shape
+    # alpha grid is linspace(0,1,na)^2 (gen_energy_lut) -> invert
+    fa = jnp.sqrt(jnp.clip(alpha, 0.0, 1.0)) * (na - 1)
+    fm = jnp.clip(mu, 0.0, 1.0) * (nm - 1)
+    ia = jnp.clip(fa.astype(jnp.int32), 0, na - 2)
+    im = jnp.clip(fm.astype(jnp.int32), 0, nm - 2)
+    da = fa - ia
+    dm = fm - im
+    e = ((1 - da) * ((1 - dm) * E[ia, im] + dm * E[ia, im + 1])
+         + da * ((1 - dm) * E[ia + 1, im] + dm * E[ia + 1, im + 1]))
+    return jnp.clip(e, 1e-3, 1.0)
+
+
+def _eval_ems(p, wo, wi):
+    """Kulla-Conty multiple-scattering reflection lobe for rough
+    conductors/mirrors (MirrorLobe::compensate): 
+    f_ms = F_ms (1-E(mu_o))(1-E(mu_i)) / (pi (1-E_avg))."""
+    alpha = jnp.sqrt(p.ax * p.ay)
+    mu_o = abs_cos_theta(wo)
+    mu_i = abs_cos_theta(wi)
+    Eo = _lut_E(p, alpha, mu_o)
+    Ei = _lut_E(p, alpha, mu_i)
+    na = p.ems_Eavg.shape[0]
+    ia = jnp.clip((jnp.sqrt(jnp.clip(alpha, 0.0, 1.0)) * (na - 1)).astype(jnp.int32),
+                  0, na - 1)
+    E_avg = jnp.clip(p.ems_Eavg[ia], 1e-3, 1.0 - 1e-3)
+    # average Fresnel: constant -> 1; conductor/F82/schlick -> (20 F0 + 1)/21
+    F0 = _eval_fresnel(p, jnp.ones_like(mu_o))
+    F_avg = jnp.clip(_mean_s((20.0 * F0 + 1.0) / 21.0), 0.0, 1.0)
+    F_avg = jnp.where(p.fr_mode == fr.FR_CONSTANT, 1.0, F_avg)
+    F_ms = safe_div(F_avg * F_avg * E_avg,
+                    1.0 - F_avg * (1.0 - E_avg))
+    f_scalar = F_ms * safe_div((1.0 - Eo) * (1.0 - Ei), Pi * (1.0 - E_avg))
+    # only conductor-family reflection lobes are compensated
+    metalish = ((p.fr_mode == fr.FR_CONSTANT) | (p.fr_mode == fr.FR_CONDUCTOR)
+                | (p.fr_mode == fr.FR_F82))
+    ok = same_hemisphere(wo, wi) & metalish & (alpha > 0.02)
+    f = p.spec_tint * jnp.where(ok, f_scalar, 0.0)[..., None]
+    return f
+
+
 def _lobe_weights(p, wo):
     """Sampling weights for the 5 lobes given wo. Deterministic function of
     (params, wo) so eval and sample agree exactly -> consistent MIS pdfs."""
@@ -334,6 +383,8 @@ def evaluate(p, wo, wi):
         f_sh, pdf_sh = _eval_sheen(p, wo, wi)
         f = f + f_sh * p.sheen_weight[..., None]
         pdf = pdf + probs[..., 4] * pdf_sh
+    if p.has("ems") and p.ems_E is not None:
+        f = f + _eval_ems(p, wo, wi) * p.spec_weight[..., None]
 
     valid = (total > 0.0) & (abs_cos_theta(wo) > 1e-7)
     f = jnp.where(valid[..., None], f, 0.0)

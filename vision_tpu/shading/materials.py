@@ -58,6 +58,9 @@ class MaterialTable:
         pytree_node=False,
         default=("diff", "spec", "trans", "cc", "sheen", "oren", "blend",
                  "disney"))
+    # GGX energy LUT (gen_energy_lut.py)
+    ems_E: jnp.ndarray = None
+    ems_Eavg: jnp.ndarray = None
 
 
 def _default_row():
@@ -385,6 +388,18 @@ class MaterialCompiler:
             feats.append("blend")
         if any(r["diffuse_kind"] == bsdf.DIFF_DISNEY for r in rows):
             feats.append("disney")
+        # rough conductor/mirror -> enable the multiple-scattering lobe
+        import os
+        lut_path = os.path.join(os.path.dirname(__file__), "..", "data",
+                                "ggx_energy.npz")
+        metalish = {frs.FR_CONSTANT, frs.FR_CONDUCTOR, frs.FR_F82}
+        if os.path.exists(lut_path) and any(
+                r["spec_weight"] > 0 and r["fr_mode"] in metalish
+                and max(r["ax"], r["ay"]) > 0.02 for r in rows):
+            feats.append("ems")
+            lut = np.load(lut_path)
+            arrs["ems_E"] = jnp.asarray(lut["E"])
+            arrs["ems_Eavg"] = jnp.asarray(lut["E_avg"])
         arrs["feats"] = tuple(feats)
         return MaterialTable(**arrs)
 
@@ -485,5 +500,7 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
         feats=getattr(table, "feats",
                       ("diff", "spec", "trans", "cc", "sheen", "oren",
                        "blend", "disney")),
+        ems_E=getattr(table, "ems_E", None),
+        ems_Eavg=getattr(table, "ems_Eavg", None),
     )
     return params, dispersive & valid
