@@ -35,13 +35,13 @@ RAY_OFFSET = 2e-4
 
 
 def _use_pallas_isect():
-    """Standalone the Pallas sweep wins (12ms vs 22ms at 512^2 x 36 tris),
-    but inside the bounce loop the ray-packing breaks XLA fusion and loses
-    (717ms vs 314ms full pass) — so it is opt-in until the packed-ray
-    wavefront refactor lands."""
+    """Default on TPU: the [8, R] rays-on-lanes Pallas sweep with in-kernel
+    (t, id, u, v) carry measures 1.1 ms closest / 0.9 ms any-hit at
+    512^2 x 36 tris vs 19/1.4 ms for the XLA sweep. VT_USE_PALLAS_ISECT=0
+    forces the XLA path."""
     import os
     import jax
-    if os.environ.get("VT_USE_PALLAS_ISECT") != "1":
+    if os.environ.get("VT_USE_PALLAS_ISECT") == "0":
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
