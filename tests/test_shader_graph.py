@@ -1,0 +1,141 @@
+"""Shader-graph calculation nodes (reference shader_node.h:48-106,
+render_core/shadernode/{math,mix}.cpp): host fold & bake tests."""
+import numpy as np
+import pytest
+
+from vision_tpu.shading import shader_graph as sg
+
+
+class _Atlas:
+    def __init__(self):
+        self.arrays = []
+
+    def add_array(self, a):
+        self.arrays.append(np.asarray(a))
+        return len(self.arrays) - 1
+
+
+def _img(tmp_path, name, arr):
+    from PIL import Image
+    Image.fromarray(arr.astype(np.uint8)).save(tmp_path / name)
+    return name
+
+
+def test_const_fold_multiply():
+    v = sg.fold_slot({"type": "multiply",
+                      "param": {"lhs": [2.0, 4.0, 8.0], "rhs": 0.5}})
+    assert v.is_const
+    np.testing.assert_allclose(v.const, [1.0, 2.0, 4.0])
+
+
+def test_const_fold_add_sub_div():
+    v = sg.fold_slot({"type": "add", "param": {"lhs": [1, 2], "rhs": [3, 4]}})
+    np.testing.assert_allclose(v.const, [4, 6])
+    v = sg.fold_slot({"type": "subtract", "param": {"lhs": 5.0, "rhs": 2.0}})
+    np.testing.assert_allclose(v.const, [3.0])
+    v = sg.fold_slot({"type": "divide", "param": {"lhs": 8.0, "rhs": 2.0}})
+    np.testing.assert_allclose(v.const, [4.0])
+
+
+def test_lerp_fold():
+    v = sg.fold_slot({"type": "lerp",
+                      "param": {"t": 0.25, "A": [0, 0, 0], "B": [4, 8, 12]}})
+    np.testing.assert_allclose(v.const, [1, 2, 3])
+
+
+def test_swizzle():
+    v = sg.fold_slot({"channels": "zx", "node": [1.0, 2.0, 3.0]})
+    np.testing.assert_allclose(v.const, [3.0, 1.0])
+
+
+def test_image_times_number_bakes(tmp_path):
+    arr = np.zeros((4, 4, 3), np.uint8)
+    arr[:2] = 255
+    fn = _img(tmp_path, "t.png", arr)
+    v = sg.fold_slot({"type": "multiply",
+                      "param": {
+                          "lhs": {"fn": fn, "color_space": "linear"},
+                          "rhs": {"type": "number",
+                                  "param": {"value": [0.5, 1.0, 0.25]}}}},
+                     scene_dir=str(tmp_path))
+    assert not v.is_const
+    np.testing.assert_allclose(v.image[0, 0], [0.5, 1.0, 0.25], atol=1e-6)
+    np.testing.assert_allclose(v.image[3, 0], [0.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_mixed_resolution_bake(tmp_path):
+    a = np.full((2, 2, 3), 255, np.uint8)
+    b = np.full((4, 4, 3), 128, np.uint8)
+    fa, fb = _img(tmp_path, "a.png", a), _img(tmp_path, "b.png", b)
+    v = sg.fold_slot({"type": "multiply",
+                      "param": {"lhs": {"fn": fa, "color_space": "linear"},
+                                "rhs": {"fn": fb, "color_space": "linear"}}},
+                     scene_dir=str(tmp_path))
+    assert v.image.shape == (4, 4, 3)
+    np.testing.assert_allclose(v.image[0, 0], 128 / 255.0, atol=1e-3)
+
+
+def test_resolve_rgb_bakes_to_atlas(tmp_path):
+    arr = np.full((4, 4, 3), 255, np.uint8)
+    fn = _img(tmp_path, "w.png", arr)
+    at = _Atlas()
+    rgb, tex = sg.resolve_rgb({"type": "scale",
+                               "param": {"value": {"fn": fn,
+                                                   "color_space": "linear"},
+                                         "scale": 0.5}},
+                              at, scene_dir=str(tmp_path))
+    assert tex == 0
+    np.testing.assert_allclose(rgb, [1, 1, 1])
+    np.testing.assert_allclose(at.arrays[0], 0.5, atol=1e-3)
+
+
+def test_scene_with_calc_node_renders_nonwhite(tmp_path):
+    """A multiplied texture must not render as white (r1 silent-wrong case)."""
+    from PIL import Image
+    arr = np.full((4, 4, 3), 255, np.uint8)
+    Image.fromarray(arr).save(tmp_path / "white.png")
+    import jax
+    import jax.numpy as jnp
+    from vision_tpu.scene.scene import Scene
+    from vision_tpu.integrator import pt
+
+    scene = {
+        "shapes": [{"type": "quad", "name": "floor",
+                    "param": {"width": 2.0, "height": 2.0,
+                              "material": "M"}}],
+        "materials": [
+            {"type": "diffuse", "name": "M",
+             "param": {"color": {
+                 "type": "multiply",
+                 "param": {"lhs": {"fn": "white.png",
+                                   "color_space": "linear"},
+                           "rhs": {"type": "number",
+                                   "param": {"value": [0.5, 0.25, 0.125]}}}}}}],
+        "camera": {"type": "thin_lens",
+                   "param": {"fov_y": 40,
+                             "transform": {"type": "look_at",
+                                           "param": {"position": [0, 2, 0.01],
+                                                     "up": [0, 0, 1],
+                                                     "target_pos": [0, 0, 0]}},
+                             "radiance_collector": {
+                                 "type": "normal",
+                                 "param": {"resolution": [16, 16]}},
+                             "filter": {"type": "box",
+                                        "param": {"radius": [0.5, 0.5]}}}},
+        "integrator": {"type": "pt", "param": {"max_depth": 2}},
+        "spectrum": {"type": "srgb", "param": {"dimension": 3}},
+        "light_sampler": {
+            "type": "uniform",
+            "param": {"lights": [
+                {"type": "directional",
+                 "param": {"color": [np.pi, np.pi, np.pi],
+                           "direction": [0, -1, 0]}}]}},
+        "output": {"spp": 1, "fn": "t.png"},
+    }
+    sc = Scene(scene, scene_dir=str(tmp_path))
+    img, _ = jax.jit(lambda s, c, f, i: pt.render_sample(s, c, f, i,
+                                                         max_depth=2))(
+        sc.data, sc.camera, sc.filter, jnp.uint32(0))
+    c = np.asarray(img)[6:10, 6:10].mean(axis=(0, 1))
+    # directional E = pi => L_out = albedo (texture * number)
+    np.testing.assert_allclose(c, [0.5, 0.25, 0.125], rtol=0.05)

@@ -102,11 +102,13 @@ def compute_interaction(scene, ray, hit):
     return pos, ng, ns, uv, inst, mat_id, light_id
 
 
-def spawn_origin(pos, ng, w):
+def spawn_origin(pos, ng, w, factor=1.0):
     """Offset ray origin along the geometric normal (interaction.h
-    ray offset)."""
+    custom_offset_ray_origin): magnitude-proportional so large scenes don't
+    acne, scaled by render_setting.ray_offset_factor."""
     s = jnp.sign(dot(w, ng))[..., None]
-    return pos + ng * s * RAY_OFFSET
+    mag = jnp.maximum(jnp.max(jnp.abs(pos), axis=-1), 1.0)
+    return pos + ng * s * (RAY_OFFSET * factor * mag)[..., None]
 
 
 def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
@@ -115,6 +117,8 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
     aovs dict). Spectral transport (hero wavelengths) happens internally when
     scene.spectrum is a hero model; the output is always converged to sRGB."""
     spectrum = scene.spectrum
+    off_factor = getattr(scene, "ray_offset", None)
+    off_factor = 1.0 if off_factor is None else off_factor
     R = ray.origin.shape[0]
     state, swl = spectrum.sample_wavelengths(state)
     S = spectrum.dims
@@ -124,9 +128,7 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
     active = jnp.ones((R,), bool)
     eta_scale = jnp.ones((R,))
     prev_ng = ray.direction
-    first_albedo = jnp.zeros((R, S))
     first_normal = jnp.zeros((R, 3))
-
     first_albedo = jnp.zeros((R, 3))
     has_media = getattr(scene, "has_media", False)
     carry = dict(o=ray.origin, d=ray.direction, L=L, thr=throughput,
@@ -217,11 +219,10 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
                                                       pos_med, pos)
         st, u_sel = rng.next_1d(st)
         st, u_l2 = rng.next_2d(st)
-        ls = lt.sample_wi(scene.lights, scene.atlas,
-                          (scene.tri_p0, scene.tri_e1, scene.tri_e2),
+        ls = lt.sample_wi(scene.lights, scene.atlas, scene.tri_pack,
                           nee_pos, ns, u_sel, u_l2, scene.world_radius,
                           spectrum, swl_c)
-        shadow_o = spawn_origin(pos, ng, ls.wi)
+        shadow_o = spawn_origin(pos, ng, ls.wi, off_factor)
         if has_media:
             shadow_o = jnp.where(samp_med[..., None], pos_med, shadow_o)
         shadow_ray = Ray.make(shadow_o, ls.wi,
@@ -278,7 +279,7 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
                             new_thr * safe_div(1.0, q)[..., None], new_thr)
         act = act & jnp.logical_not(kill)
 
-        new_o = spawn_origin(pos, ng, wi_world)
+        new_o = spawn_origin(pos, ng, wi_world, off_factor)
         new_med = med_id
         if has_media:
             new_o = jnp.where(samp_med[..., None], pos_med, new_o)

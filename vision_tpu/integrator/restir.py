@@ -95,8 +95,7 @@ def initial_candidates(scene, gb, state, m_light=8):
     for _ in range(m_light):
         state, u_sel = rng.next_1d(state)
         state, u2 = rng.next_2d(state)
-        ls = lt.sample_wi(scene.lights, scene.atlas,
-                          (scene.tri_p0, scene.tri_e1, scene.tri_e2),
+        ls = lt.sample_wi(scene.lights, scene.atlas, scene.tri_pack,
                           gb.pos, gb.normal, u_sel, u2, scene.world_radius)
         is_delta = ls.pdf < 0.0
         pdf = jnp.where(is_delta, -ls.pdf, ls.pdf)

@@ -174,11 +174,11 @@ def light_pmf(table, light_id):
     return base
 
 
-def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2,
+def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
               world_radius, spectrum=None, swl=None):
-    """NEE light sample for every lane. scene_tris = (p0, e1, e2, n) global
-    triangle arrays for area lights. Returns LightSample; L is [..., S]
-    (spectral under a hero SpectrumModel)."""
+    """NEE light sample for every lane. tri_pack = [T, 32] packed triangle
+    rows (p0 e1 e2 ... uv0 uv1 uv2) for area lights. Returns LightSample;
+    L is [..., S] (spectral under a hero SpectrumModel)."""
     lid, sel_pmf, u_sel2 = select_light(table, u_sel)
     lt = table.ltype[lid]
     color = table.color[lid]
@@ -194,13 +194,17 @@ def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2,
     tri_i, tri_pmf, u_rem = sample_alias(table.a_prob, table.a_alias,
                                          table.a_pmf, u_sel2, off, cnt)
     gtri = table.tri_base[lid] + tri_i
-    gtri = jnp.clip(gtri, 0, scene_tris[0].shape[0] - 1)
-    p0 = scene_tris[0][gtri]
-    e1 = scene_tris[1][gtri]
-    e2 = scene_tris[2][gtri]
+    gtri = jnp.clip(gtri, 0, tri_pack.shape[0] - 1)
+    trow = tri_pack[gtri]
+    p0 = trow[..., 0:3]
+    e1 = trow[..., 3:6]
+    e2 = trow[..., 6:9]
     u_tri = jnp.stack([u_rem, u2[..., 1]], -1)
     b = warp.square_to_triangle(u_tri)
     p_area = p0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+    b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
+    uv_area = (b0 * trow[..., 18:20] + b[..., 0:1] * trow[..., 20:22]
+               + b[..., 1:2] * trow[..., 22:24])
     ng_l = jnp.cross(e1, e2)
     area2 = jnp.sqrt(jnp.maximum(jnp.sum(ng_l * ng_l, -1), 1e-20))
     ng_l = ng_l / area2[..., None]
@@ -214,6 +218,11 @@ def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2,
     cos_l = jnp.abs(front)
     pdf_a = safe_div(pdf_pos * dist2_a, cos_l)
     L_a = color * vis_a[..., None]
+    # textured emission (light.h color slot evaluated at the surface uv)
+    if getattr(atlas, "has_textures", True):
+        tex_a = atlas.sample(ctex, uv_area)
+        L_a = L_a * jnp.where((ctex >= 0)[..., None], tex_a,
+                              jnp.ones_like(tex_a))
 
     # ---- point / spot / projector (delta)
     to_light = pos - ref_pos
@@ -266,23 +275,30 @@ def sample_wi(table, atlas, scene_tris, ref_pos, ref_ng, u_sel, u2,
     is_spot = lt == L_SPOT
     is_proj = lt == L_PROJECTOR
     is_env = lt == L_SPHERICAL
+    is_dir = lt == L_DIRECTIONAL
+
+    # directional (directional.cpp): delta; wi = -direction, L = color
+    wi_dir = -dirn
 
     wi_near = normalize(to_light)
+    far = is_env | is_dir
     wi = jnp.where(is_area[..., None], normalize(p_area - ref_pos),
-         jnp.where(is_env[..., None], wi_env, wi_near))
+         jnp.where(is_env[..., None], wi_env,
+         jnp.where(is_dir[..., None], wi_dir, wi_near)))
     p_light = jnp.where(is_area[..., None], p_area,
-              jnp.where(is_env[..., None], ref_pos + wi * (2.0 * world_radius),
+              jnp.where(far[..., None], ref_pos + wi * (2.0 * world_radius),
                         pos))
     L = jnp.where(is_area[..., None], L_a,
         jnp.where(is_point[..., None], L_p,
         jnp.where(is_spot[..., None], L_s,
-        jnp.where(is_proj[..., None], L_pr, L_e))))
+        jnp.where(is_proj[..., None], L_pr,
+        jnp.where(is_dir[..., None], color, L_e)))))
     L = _decode_illum(L, spectrum, swl)
-    delta = is_point | is_spot | is_proj
+    delta = is_point | is_spot | is_proj | is_dir
     pdf = jnp.where(is_area, pdf_a, jnp.where(is_env, pdf_e, 1.0))
     pdf = pdf * sel_pmf
     pdf = jnp.where(delta, -pdf, pdf)
-    dist = jnp.where(is_env, 2.0 * world_radius,
+    dist = jnp.where(far, 2.0 * world_radius,
                      jnp.sqrt(jnp.where(is_area, dist2_a, d2)))
     return LightSample(p_light=p_light, wi=wi, L=L, pdf=pdf, dist=dist)
 
@@ -293,6 +309,11 @@ def eval_hit_area(table, light_id, prim_id, tri_base_area, ref_pos, hit_pos,
     (lightsampler.cpp evaluate_hit_wi). pdf includes light selection pmf."""
     lid = jnp.clip(light_id, 0, table.ltype.shape[0] - 1)
     color = table.color[lid]
+    ctex = table.color_tex[lid]
+    if hit_uv is not None and getattr(atlas, "has_textures", True):
+        tex = atlas.sample(ctex, hit_uv)
+        color = color * jnp.where((ctex >= 0)[..., None], tex,
+                                  jnp.ones_like(tex))
     w = ref_pos - hit_pos
     front = dot(normalize(w), hit_ng)
     vis = (front > 0.0) | (table.two_sided[lid] > 0)
@@ -325,13 +346,14 @@ class LightBuilder:
                     two_sided=0, inst_id=-1, total_area=1.0, tri_base=0,
                     power=1.0)
 
-    def add_area(self, color, inst_id, tri_base, tri_areas, two_sided=False):
+    def add_area(self, color, inst_id, tri_base, tri_areas, two_sided=False,
+                 tex_id=-1):
         r = self._default()
         total = float(np.sum(tri_areas))
         lum = 0.2126 * color[0] + 0.7152 * color[1] + 0.0722 * color[2]
         r.update(ltype=L_AREA, color=list(color), inst_id=inst_id,
                  tri_base=tri_base, total_area=max(total, 1e-12),
-                 two_sided=1 if two_sided else 0,
+                 two_sided=1 if two_sided else 0, color_tex=tex_id,
                  power=(2.0 if two_sided else 1.0) * lum * total * Pi)
         self.rows.append(r)
         self.area_weights.append(np.asarray(tri_areas, np.float64))

@@ -55,6 +55,9 @@ class SceneData:
     bvh: object            # BVH or None
     spectrum: object       # SpectrumModel
     world_radius: jnp.ndarray
+    # render_setting.ray_offset_factor (node_desc.cpp:375); spawn offsets are
+    # position-magnitude-scaled and multiplied by this
+    ray_offset: jnp.ndarray = None
 
 
 class Scene:
@@ -124,9 +127,15 @@ class Scene:
             inst_mat.append(mid)
             inst_light.append(-1)
             med = p.get("medium", {})
-            self._inst_media.append((
-                self.medium_builder.get(med.get("inside", "")) if med else -1,
-                self.medium_builder.get(med.get("outside", "")) if med else self.global_medium))
+            inside = self.medium_builder.get(med.get("inside", "")) if med else -1
+            outside = (self.medium_builder.get(med.get("outside", ""))
+                       if med else self.global_medium)
+            # subsurface materials carry an interior medium (subsurface.cpp
+            # sigma_a/sigma_s slots -> homogeneous medium inside the shape)
+            sss = self.mat_compiler.sss.get(mid)
+            if sss is not None and inside < 0:
+                inside = self._obtain_sss_medium(mid, sss)
+            self._inst_media.append((inside, outside))
             mesh_parts.append((world, inst_id))
             if "emission" in p:
                 t0, t1, t2 = (world.positions[world.triangles[:, k]] for k in range(3))
@@ -141,10 +150,10 @@ class Scene:
                             pending_emissions)
         for inst_id, edesc, tb, areas in pending_emissions:
             ep = dsc.ParameterSet(edesc.get("param", {}))
-            color = self._emission_color(ep)
+            color, tex_id = self._emission_color(ep)
             lid = self.light_builder.add_area(
                 color, inst_id, tb, areas,
-                two_sided=ep.as_bool("two_sided", False))
+                two_sided=ep.as_bool("two_sided", False), tex_id=tex_id)
             inst_light[inst_id] = lid
 
         # ---- flatten geometry ----
@@ -186,6 +195,9 @@ class Scene:
         self.output_spp = int(out.get("spp", 0))
         self.output_fn = out.get("fn", "output.png")
 
+        rs = dsc.ParameterSet(raw.get("render_setting", {}))
+        self.ray_offset_factor = rs.as_float("ray_offset_factor", 1.0)
+
         sp_desc = raw.get("spectrum", {})
         self.spectrum_type = sp_desc.get("type", "srgb")
         self.spectrum_dims = sp_desc.get("param", {}).get("dimension", 3)
@@ -204,12 +216,26 @@ class Scene:
         self._build_device_geometry()
 
     def _emission_color(self, ep):
+        """Emission color slot -> (rgb*scale, atlas tex id | -1). Textured
+        emission (light.h color slot, e.g. res/emission_tex.json) loads into
+        the atlas; the constant becomes the scale."""
         kind, payload, _ = dsc.parse_slot(ep.raw("color", [1, 1, 1]))
-        color = payload if kind == "const" else [1.0, 1.0, 1.0]
+        tex_id = -1
+        if kind == "image":
+            try:
+                tex_id = self.atlas_builder.add_image(
+                    os.path.join(self.scene_dir, payload["fn"]),
+                    payload.get("color_space", "srgb"))
+            except Exception as e:
+                import warnings
+                warnings.warn(f"emission texture missing: {e}")
+            color = [1.0, 1.0, 1.0]
+        else:
+            color = payload if kind == "const" else [1.0, 1.0, 1.0]
         color = list(color) + [color[-1]] * (3 - len(color))
         sk, sp_, _ = dsc.parse_slot(ep.raw("scale", 1.0))
         scale = sp_[0] if sk == "const" else 1.0
-        return [c * scale for c in color[:3]]
+        return [c * scale for c in color[:3]], tex_id
 
     def _add_light(self, ldesc, mesh_parts, inst_mat, inst_light,
                    pending_emissions):
@@ -268,6 +294,12 @@ class Scene:
         elif lt == "directional":
             c, _ = color3()
             self.light_builder.add_directional(c, p.as_float3("direction", (0, -1, 0)))
+        elif lt == "mix":
+            # environments/mix.cpp: weighted blend of two environments.
+            # Pre-combine the HDRIs into one spherical light at load time
+            # (scale0*env0 + scale1*env1), resampled to the larger resolution;
+            # orientation taken from env0.
+            self._add_mix_env(p)
         elif lt == "area":
             # standalone area light: builds its own quad geometry (area.cpp
             # init_geometry)
@@ -286,6 +318,63 @@ class Scene:
             lid = self.light_builder.add_area(c, inst_id, tri_base, areas,
                                               p.as_bool("two_sided", False))
             inst_light[inst_id] = lid
+
+    def _obtain_sss_medium(self, mid, sss):
+        key = f"__sss_{mid}"
+        existing = self.medium_builder.get(key)
+        if existing >= 0:
+            return existing
+        desc = {"type": "homogeneous", "name": key,
+                "param": {"sigma_a": sss["sigma_a"],
+                          "sigma_s": sss["sigma_s"], "g": sss["g"]}}
+        if sss.get("medium_name"):
+            desc["param"] = {"medium_name": sss["medium_name"],
+                             "g": sss["g"]}
+        med_id = self.medium_builder.add(desc)
+        self.process_mediums = True
+        self.n_mediums = len(self.medium_builder.rows)
+        return med_id
+
+    def _add_mix_env(self, p):
+        from .texture import load_image
+
+        def load_env(key, skey):
+            sub = p.raw(key, {}) or {}
+            sp_ = dsc.ParameterSet(sub.get("param", {}))
+            kind, payload, _ = dsc.parse_slot(sp_.raw("color", [1, 1, 1]))
+            if kind != "image":
+                return None
+            path = os.path.join(self.scene_dir, payload["fn"])
+            try:
+                img = load_image(path, payload.get("color_space", "linear"))
+            except Exception:
+                return None
+            scale = p.as_float(skey, 1.0) * sp_.as_float("scale", 1.0)
+            o2w = xf.from_json(sp_.raw("o2w"))
+            return img, scale, o2w
+
+        e0 = load_env("env0", "scale0")
+        e1 = load_env("env1", "scale1")
+        if e0 is None and e1 is None:
+            return
+        if e0 is None or e1 is None:
+            img, scale, o2w = e0 or e1
+            combined = img * scale
+        else:
+            h = max(e0[0].shape[0], e1[0].shape[0])
+            w = max(e0[0].shape[1], e1[0].shape[1])
+
+            def up(img):
+                if img.shape[:2] == (h, w):
+                    return img
+                yi = (np.arange(h) * img.shape[0] // h)
+                xi = (np.arange(w) * img.shape[1] // w)
+                return img[yi][:, xi]
+
+            combined = up(e0[0]) * e0[1] + up(e1[0]) * e1[1]
+            o2w = e0[2]
+        tex = self.atlas_builder.add_array(combined.astype(np.float32))
+        self.light_builder.add_spherical([1.0, 1.0, 1.0], o2w, tex, combined)
 
     def _flatten(self, mesh_parts, inst_mat, inst_light):
         P0, E1, E2, N0, N1, N2, U0, U1, U2, TI = [], [], [], [], [], [], [], [], [], []
@@ -377,6 +466,7 @@ class Scene:
             bvh=bvh,
             spectrum=self.spectrum,
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
+            ray_offset=jnp.asarray(self.ray_offset_factor, jnp.float32),
         )
 
 

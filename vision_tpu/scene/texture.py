@@ -56,11 +56,17 @@ class AtlasBuilder:
         return idx
 
     def add_array(self, img):
+        img = np.ascontiguousarray(np.asarray(img, np.float32))
+        key = ("arr", img.shape, hash(img.tobytes()))
+        if key in self.by_key:
+            return self.by_key[key]
         idx = len(self.images)
-        self.images.append(np.asarray(img, np.float32))
+        self.images.append(img)
+        self.by_key[key] = idx
         return idx
 
     def build(self):
+        n_real = len(self.images)
         if not self.images:
             # one white dummy texel so shapes stay static
             self.images.append(np.ones((1, 1, 3), np.float32))
@@ -80,7 +86,7 @@ class AtlasBuilder:
             offset=jnp.asarray(offsets, jnp.int32),
             width=jnp.asarray(widths, jnp.int32),
             height=jnp.asarray(heights, jnp.int32),
-            n_real=len(self.by_key),
+            n_real=n_real,
         )
 
 

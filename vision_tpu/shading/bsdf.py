@@ -83,6 +83,14 @@ class LobeParams:
     # PureReflectionLobe energy compensation in the reference)
     ems_E: jnp.ndarray = None       # [Na, Nmu]
     ems_Eavg: jnp.ndarray = None    # [Na]
+    # LobeSet mixture (lobe.h:277-330 create_mix/create_add): a second full
+    # parameter row plus per-row weights. f = wa*f_a + wb*f_b; sampling uses
+    # normalized weights as the one-sample-MIS mixture pdf. Non-mixture lanes
+    # carry wa=1, wb=0 (formulas reduce exactly). None when no scene material
+    # mixes ("mix2" not in feats) so plain scenes compile none of this.
+    mix_b: "LobeParams" = None
+    mix_wa: jnp.ndarray = None      # [...]
+    mix_wb: jnp.ndarray = None      # [...]
 
     def has(self, name):
         return name in self.feats
@@ -360,7 +368,21 @@ def _lobe_weights(p, wo):
 
 def evaluate(p, wo, wi):
     """Full BSDF eval at local (wo, wi): ScatterEval(f [..., S], pdf).
-    Unused lobe families (p.feats) compile to nothing."""
+    Unused lobe families (p.feats) compile to nothing. Mixture rows
+    (LobeSet::create_mix/add) combine two full rows: f = wa f_a + wb f_b,
+    pdf = pa pdf_a + (1-pa) pdf_b with pa = wa/(wa+wb)."""
+    if p.mix_b is not None:
+        ev_a = _evaluate_single(p, wo, wi)
+        ev_b = _evaluate_single(p.mix_b, wo, wi)
+        wa, wb = p.mix_wa, p.mix_wb
+        pa = safe_div(wa, wa + wb)
+        f = wa[..., None] * ev_a.f + wb[..., None] * ev_b.f
+        pdf = pa * ev_a.pdf + (1.0 - pa) * ev_b.pdf
+        return ScatterEval(f=f, pdf=pdf)
+    return _evaluate_single(p, wo, wi)
+
+
+def _evaluate_single(p, wo, wi):
     probs, total = _lobe_weights(p, wo)
     f = jnp.zeros_like(p.kd)
     pdf = jnp.zeros(p.kd.shape[:-1])
@@ -394,6 +416,14 @@ def evaluate(p, wo, wi):
 
 def albedo(p, wo):
     """Approximate reflectance for AOVs / RR (reference Lobe::albedo)."""
+    if p.mix_b is not None:
+        return jnp.clip(p.mix_wa[..., None] * _albedo_single(p, wo)
+                        + p.mix_wb[..., None] * _albedo_single(p.mix_b, wo),
+                        0.0, 1.0)
+    return _albedo_single(p, wo)
+
+
+def _albedo_single(p, wo):
     F = _eval_fresnel(p, abs_cos_theta(wo))
     a = (p.kd * p.diffuse_weight[..., None]
          + p.spec_tint * (p.spec_weight * _mean_s(F))[..., None]
@@ -403,7 +433,25 @@ def albedo(p, wo):
 
 
 def sample(p, wo, state):
-    """Sample the uber-BSDF. Returns (state, BSDFSample)."""
+    """Sample the uber-BSDF. Returns (state, BSDFSample). Mixture rows pick a
+    row by normalized weight, sample it, then MIS-evaluate the mixture
+    (LobeSet::sample_wi_local_impl one-sample estimator)."""
+    if p.mix_b is not None:
+        pa = safe_div(p.mix_wa, p.mix_wa + p.mix_wb)
+        state, u_row = rng.next_1d(state)
+        pick_a = u_row < pa
+        state, sa = _sample_single(p, wo, state)
+        state, sb = _sample_single(p.mix_b, wo, state)
+        wi = jnp.where(pick_a[..., None], sa.wi, sb.wi)
+        ev = evaluate(p, wo, wi)
+        eta_scale = jnp.where(pick_a, sa.eta_scale, sb.eta_scale)
+        valid = jnp.where(pick_a, sa.valid, sb.valid) & (ev.pdf > 0.0)
+        return state, BSDFSample(wi=wi, ev=ev, eta_scale=eta_scale,
+                                 valid=valid)
+    return _sample_single(p, wo, state)
+
+
+def _sample_single(p, wo, state):
     probs, total = _lobe_weights(p, wo)
     state, u_sel = rng.next_1d(state)
     state, u2 = rng.next_2d(state)
@@ -440,7 +488,7 @@ def sample(p, wo, state):
         wi = jnp.where((lobe == 3)[..., None], wi_cc, wi)
     wi = normalize(wi)
 
-    ev = evaluate(p, wo, wi)
+    ev = _evaluate_single(p, wo, wi)
     valid = (total > 0.0) & (ev.pdf > 0.0) & jnp.all(jnp.isfinite(wi), axis=-1)
     refracted = (lobe == 2) & jnp.logical_not(same_hemisphere(wo, wi))
     eta_scale = jnp.where(refracted, sqr(_hemi_eta(p, wo)), 1.0)

@@ -49,6 +49,11 @@ class MaterialTable:
     metallic: jnp.ndarray
     dispersive_id: jnp.ndarray  # index into glass_coeffs rows (-1 none)
     metal_id: jnp.ndarray       # index into metal SPD rows (-1 none)
+    # LobeSet mixtures (lobe.h:277-330): second row id + weights
+    mix_b: jnp.ndarray          # [M] int32 (-1 = plain material)
+    mix_wa: jnp.ndarray         # [M]
+    mix_wb: jnp.ndarray         # [M]
+    frac_tex: jnp.ndarray       # [M] textured mix fraction (-1 const)
     # spectral registries (shared rows, gathered in hero mode)
     glass_coeffs: jnp.ndarray   # [G, 6] Sellmeier B1 C1 B2 C2 B3 C3
     metal_eta_spd: jnp.ndarray  # [Mt, 95]
@@ -76,6 +81,7 @@ def _default_row():
         sheen_weight=0.0, sheen_tint=[0.0, 0.0, 0.0],
         flatness=0.0, metallic=0.0,
         dispersive_id=-1, metal_id=-1,
+        mix_b=-1, mix_wa=1.0, mix_wb=0.0, frac_tex=-1,
     )
 
 
@@ -87,46 +93,27 @@ class MaterialCompiler:
         self.by_name = {}
         self.atlas = atlas_builder
         self.scene_dir = scene_dir
+        # material id -> (sigma_a, sigma_s, g) interior-medium request
+        # (subsurface materials; the scene attaches it as inside_medium)
+        self.sss = {}
 
     # ---- slot helpers ----
 
     def _slot_rgb(self, pset, key, default):
-        """Resolve a color slot -> (rgb const [3], tex_id)."""
+        """Resolve a color slot -> (rgb const [3], tex_id). Calculation node
+        trees (multiply/add/lerp/... over images & numbers) fold/bake on the
+        host via shader_graph.fold_slot — see shader_graph.py."""
         if key not in pset:
             return list(default), -1
-        kind, payload, _ = parse_slot(pset.raw(key))
-        if kind == "const":
-            v = payload + [payload[-1]] * (3 - len(payload))
-            return [float(v[0]), float(v[1]), float(v[2])], -1
-        if kind == "image":
-            import os
-            fn = payload.get("fn")
-            cs = payload.get("color_space", "srgb")
-            try:
-                tex = self.atlas.add_image(os.path.join(self.scene_dir, fn), cs)
-            except Exception as e:
-                import warnings
-                warnings.warn(f"texture load failed ({fn}): {e}; using white")
-                return [1.0, 1.0, 1.0], -1
-            return [1.0, 1.0, 1.0], tex
-        # calculation nodes: approximate with white constant for now
-        return [1.0, 1.0, 1.0], -1
+        from .shader_graph import resolve_rgb
+        return resolve_rgb(pset.raw(key), self.atlas, self.scene_dir, default)
 
     def _slot_scalar(self, pset, key, default):
         if key not in pset:
             return float(default), -1
-        kind, payload, _ = parse_slot(pset.raw(key))
-        if kind == "const":
-            return float(payload[0]), -1
-        if kind == "image":
-            import os
-            fn = payload.get("fn")
-            try:
-                tex = self.atlas.add_image(os.path.join(self.scene_dir, fn), "linear")
-            except Exception:
-                return float(default), -1
-            return float(default), tex
-        return float(default), -1
+        from .shader_graph import resolve_scalar
+        return resolve_scalar(pset.raw(key), self.atlas, self.scene_dir,
+                              default)
 
     def _slot_rough2(self, pset, key, default):
         """Roughness may be scalar or [rx, ry] (glass.cpp)."""
@@ -155,10 +142,20 @@ class MaterialCompiler:
             return self.by_name[name]
         row = self._compile_row(desc)
         mid = len(self.rows)
+        sss = row.pop("_sss", None)
+        if sss is not None:
+            self.sss[mid] = sss
         self.rows.append(row)
         if name:
             self.by_name[name] = mid
         return mid
+
+    def _append_child(self, desc):
+        """Compile a sub-material of a mixture into its own (anonymous) row."""
+        row = self._compile_row(desc)
+        row.pop("_sss", None)
+        self.rows.append(row)
+        return len(self.rows) - 1
 
     def get(self, name):
         return self.by_name.get(name, -1)
@@ -304,8 +301,25 @@ class MaterialCompiler:
                    sheen_tint=stint, flatness=flatness, metallic=metallic)
 
     def _mat_subsurface(self, row, p):
-        # placeholder: diffuse approximation of BSSRDF (subsurface.cpp)
-        self._mat_diffuse(row, p)
+        """Subsurface = rough dielectric interface + homogeneous interior
+        medium built from sigma_a/sigma_s (subsurface.cpp slots; the
+        reference's own sss path wires a medium the same way —
+        res/render_scene/cbox/vision_sss.json). The scene attaches the
+        medium as the instance's inside_medium."""
+        tint, tex = self._slot_rgb(p, "color", [1.0, 1.0, 1.0])
+        ior = self._slot_scalar(p, "ior", 1.5)[0]
+        ax, ay, rtex, remap, aniso = self._alpha_from(p, lo=0.01)
+        row.update(spec_tint=tint, spec_tex=tex, fr_mode=frs.FR_DIELECTRIC,
+                   eta=float(ior), ax=ax, ay=ay, rough_tex=rtex,
+                   rough_remap=remap, anisotropic=aniso,
+                   spec_weight=1.0, trans_weight=1.0)
+        sigma_a = p.as_float3("sigma_a", (0.0011, 0.0024, 0.014))
+        sigma_s = p.as_float3("sigma_s", (2.55, 3.21, 3.77))
+        scale = p.as_float("sigma_scale", 1.0)
+        row["_sss"] = dict(sigma_a=[c * scale for c in sigma_a],
+                           sigma_s=[c * scale for c in sigma_s],
+                           g=p.as_float("g", 0.0),
+                           medium_name=p.as_str("medium_name", ""))
 
     def _mat_emission(self, row, p):
         row.update(diffuse_weight=0.0)
@@ -313,42 +327,40 @@ class MaterialCompiler:
     def _mat_black_body(self, row, p):
         row.update(diffuse_weight=0.0)
 
+    def _mix_parent(self, row, id0, id1, wa, wb, frac_tex=-1):
+        """Make `row` a true LobeSet mixture (lobe.h:277-330): the parent row
+        carries mat0's full parameters; mix_b points at mat1's row; eval/
+        sample combine both rows with (wa, wb). One nesting level (the
+        reference flattens its tree; deeper nests collapse to their A side)."""
+        r0, r1 = self.rows[id0], self.rows[id1]
+        if r0["mix_b"] >= 0 or r1["mix_b"] >= 0:
+            import warnings
+            warnings.warn("nested material mixtures flatten to one level")
+        for k, v in r0.items():
+            row[k] = v
+        row.update(mix_b=id1, mix_wa=float(wa), mix_wb=float(wb),
+                   frac_tex=frac_tex)
+
     def _mat_mix(self, row, p):
-        frac = self._slot_scalar(p, "frac", p.as_float("scale", 0.5))[0]
-        r0 = self._compile_row(p.raw("mat0", {}))
-        r1 = self._compile_row(p.raw("mat1", {}))
+        fkey = "frac" if "frac" in p else "scale"
+        frac, ftex = self._slot_scalar(p, fkey, 0.5)
+        id0 = self._append_child(p.raw("mat0", {}))
+        id1 = self._append_child(p.raw("mat1", {}))
         # LobeSet::create_mix(frac, m0, m1): m0 weighted by frac
-        self._blend_rows(row, r0, r1, frac)
+        self._mix_parent(row, id0, id1, frac, 1.0 - frac, ftex)
 
     def _mat_add(self, row, p):
-        r0 = self._compile_row(p.raw("mat0", {}))
-        r1 = self._compile_row(p.raw("mat1", {}))
-        self._blend_rows(row, r0, r1, 1.0, add=True)
+        id0 = self._append_child(p.raw("mat0", {}))
+        id1 = self._append_child(p.raw("mat1", {}))
+        # LobeSet::create_add: both at full weight (sampling normalized)
+        self._mix_parent(row, id0, id1, 1.0, 1.0)
 
     def _mat_multi_layered(self, row, p):
-        # approximate: blend the layers equally
-        r0 = self._compile_row(p.raw("mat0", p.raw("bottom", {})))
-        r1 = self._compile_row(p.raw("mat1", p.raw("top", {})))
-        self._blend_rows(row, r0, r1, 0.5)
-
-    def _blend_rows(self, row, r0, r1, frac, add=False):
-        w0 = 1.0 if add else frac
-        w1 = 1.0 if add else (1.0 - frac)
-        weight_keys = ("diffuse_weight", "spec_weight", "trans_weight",
-                       "cc_weight", "sheen_weight")
-        for k in row:
-            v0, v1 = r0[k], r1[k]
-            if k in weight_keys:
-                row[k] = w0 * v0 + w1 * v1
-            elif isinstance(v0, list):
-                t0 = w0 if not add else 0.5
-                t1 = 1.0 - t0
-                row[k] = [t0 * a + t1 * b for a, b in zip(v0, v1)]
-            elif isinstance(v0, float):
-                t0 = w0 if not add else 0.5
-                row[k] = t0 * v0 + (1.0 - t0) * v1
-            else:  # int flags: majority by larger weight
-                row[k] = v0 if w0 >= w1 else v1
+        # reference multi_layered.cpp is slots-only (no lobe creation
+        # upstream); treat bottom+top as an additive lobe set
+        id0 = self._append_child(p.raw("mat0", p.raw("bottom", {})))
+        id1 = self._append_child(p.raw("mat1", p.raw("top", {})))
+        self._mix_parent(row, id0, id1, 1.0, 1.0)
 
     def build(self):
         if not self.rows:
@@ -356,7 +368,8 @@ class MaterialCompiler:
         keys = self.rows[0].keys()
         cols = {k: [r[k] for r in self.rows] for k in keys}
         int_keys = {"kd_tex", "spec_tex", "rough_tex", "rough_remap",
-                    "diffuse_kind", "fr_mode", "dispersive_id", "metal_id"}
+                    "diffuse_kind", "fr_mode", "dispersive_id", "metal_id",
+                    "mix_b", "frac_tex"}
         arrs = {}
         for k, v in cols.items():
             dt = jnp.int32 if k in int_keys else jnp.float32
@@ -388,6 +401,8 @@ class MaterialCompiler:
             feats.append("blend")
         if any(r["diffuse_kind"] == bsdf.DIFF_DISNEY for r in rows):
             feats.append("disney")
+        if any(r["mix_b"] >= 0 for r in rows):
+            feats.append("mix2")
         # rough conductor/mirror -> enable the multiple-scattering lobe
         import os
         lut_path = os.path.join(os.path.dirname(__file__), "..", "data",
@@ -420,87 +435,112 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
 
     With a hero SpectrumModel, colors decode to spectra at swl.lam, conductor
     eta/k gather from metal SPD rows, and dispersive glass evaluates the
-    Sellmeier curve per wavelength. Returns (LobeParams, dispersive_mask)."""
+    Sellmeier curve per wavelength. LobeSet mixture rows (mix/add/
+    multi_layered) gather their second row into params.mix_b with per-lane
+    weights. Returns (LobeParams, dispersive_mask)."""
     from ..spectra.spectrum import KIND_HERO
     valid = mat_id >= 0
     mid = jnp.clip(mat_id, 0, table.kd.shape[0] - 1)
     hero = spectrum is not None and spectrum.kind == KIND_HERO
-
-    def g(col):
-        return col[mid]
+    feats = getattr(table, "feats",
+                    ("diff", "spec", "trans", "cc", "sheen", "oren",
+                     "blend", "disney"))
+    textured = getattr(atlas, "has_textures", True)
+    wvalid = valid.astype(jnp.float32)
 
     def decode_alb(rgb):
         if hero:
             return spectrum.decode_albedo(rgb, swl)
         return rgb
 
-    textured = getattr(atlas, "has_textures", True)
+    def _one(mid):
+        """LobeParams + dispersive mask for one row-id array."""
+        def g(col):
+            return col[mid]
 
-    kd = g(table.kd)
-    if textured:
-        kd_tex = g(table.kd_tex)
-        kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv), kd)
-    kd = decode_alb(kd)
+        kd = g(table.kd)
+        if textured:
+            kd_tex = g(table.kd_tex)
+            kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv),
+                           kd)
+        kd = decode_alb(kd)
 
-    spec_tint = g(table.spec_tint)
-    if textured:
-        spec_tex = g(table.spec_tex)
-        spec_tint = jnp.where((spec_tex >= 0)[..., None],
-                              atlas.sample(spec_tex, uv), spec_tint)
-    spec_tint = decode_alb(spec_tint)
+        spec_tint = g(table.spec_tint)
+        if textured:
+            spec_tex = g(table.spec_tex)
+            spec_tint = jnp.where((spec_tex >= 0)[..., None],
+                                  atlas.sample(spec_tex, uv), spec_tint)
+        spec_tint = decode_alb(spec_tint)
 
-    ax = g(table.ax)
-    ay = g(table.ay)
-    if textured:
-        rough_tex = g(table.rough_tex)
-        r_sample = atlas.sample(rough_tex, uv)[..., 0]
-        r_alpha = jnp.where(g(table.rough_remap) > 0, r_sample * r_sample,
-                            r_sample)
-        ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)
-        ay = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ay)
+        ax = g(table.ax)
+        ay = g(table.ay)
+        if textured:
+            rough_tex = g(table.rough_tex)
+            r_sample = atlas.sample(rough_tex, uv)[..., 0]
+            r_alpha = jnp.where(g(table.rough_remap) > 0, r_sample * r_sample,
+                                r_sample)
+            ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)
+            ay = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ay)
 
-    # dielectric eta: scalar, or per-lambda Sellmeier when dispersive + hero
-    disp_id = g(table.dispersive_id)
-    eta = g(table.eta)[..., None]
-    dispersive = jnp.zeros(mid.shape, bool)
-    if hero:
-        gc = table.glass_coeffs[jnp.clip(disp_id, 0, table.glass_coeffs.shape[0] - 1)]
-        eta_spd = _sellmeier_eta(gc, swl.lam)
-        dispersive = disp_id >= 0
-        eta = jnp.where(dispersive[..., None], eta_spd, eta)
+        # dielectric eta: scalar, or per-lambda Sellmeier when dispersive+hero
+        disp_id = g(table.dispersive_id)
+        eta = g(table.eta)[..., None]
+        dispersive = jnp.zeros(mid.shape, bool)
+        if hero:
+            gc = table.glass_coeffs[
+                jnp.clip(disp_id, 0, table.glass_coeffs.shape[0] - 1)]
+            eta_spd = _sellmeier_eta(gc, swl.lam)
+            dispersive = disp_id >= 0
+            eta = jnp.where(dispersive[..., None], eta_spd, eta)
 
-    # conductor eta/k: RGB triplets, or metal SPD rows at swl in hero mode
-    eta3 = g(table.eta3)
-    k3 = g(table.k3)
-    if hero:
-        from ..spectra import spd as spdmod
-        metal_id = g(table.metal_id)
-        mrow = jnp.clip(metal_id, 0, table.metal_eta_spd.shape[0] - 1)
-        me = spdmod.spd_eval_rows(table.metal_eta_spd, mrow, swl.lam)
-        mk = spdmod.spd_eval_rows(table.metal_k_spd, mrow, swl.lam)
-        is_metal = (metal_id >= 0)[..., None]
-        eta3 = jnp.where(is_metal, me, decode_alb(eta3))
-        k3 = jnp.where(is_metal, mk, decode_alb(k3))
+        # conductor eta/k: RGB triplets, or metal SPD rows at swl in hero mode
+        eta3 = g(table.eta3)
+        k3 = g(table.k3)
+        if hero:
+            from ..spectra import spd as spdmod
+            metal_id = g(table.metal_id)
+            mrow = jnp.clip(metal_id, 0, table.metal_eta_spd.shape[0] - 1)
+            me = spdmod.spd_eval_rows(table.metal_eta_spd, mrow, swl.lam)
+            mk = spdmod.spd_eval_rows(table.metal_k_spd, mrow, swl.lam)
+            is_metal = (metal_id >= 0)[..., None]
+            eta3 = jnp.where(is_metal, me, decode_alb(eta3))
+            k3 = jnp.where(is_metal, mk, decode_alb(k3))
 
-    sheen_tint = decode_alb(g(table.sheen_tint))
+        sheen_tint = decode_alb(g(table.sheen_tint))
 
-    wvalid = valid.astype(jnp.float32)
-    params = bsdf.LobeParams(
-        kd=kd, sigma=g(table.sigma), diffuse_kind=g(table.diffuse_kind),
-        diffuse_weight=g(table.diffuse_weight) * wvalid,
-        spec_tint=spec_tint, ax=ax, ay=ay,
-        fr_mode=g(table.fr_mode), eta=eta,
-        eta3=eta3, k3=k3,
-        spec_weight=g(table.spec_weight) * wvalid,
-        trans_weight=g(table.trans_weight) * wvalid,
-        cc_weight=g(table.cc_weight) * wvalid, cc_alpha=g(table.cc_alpha),
-        sheen_weight=g(table.sheen_weight) * wvalid,
-        sheen_tint=sheen_tint,
-        flatness=g(table.flatness), metallic=g(table.metallic),
-        feats=getattr(table, "feats",
-                      ("diff", "spec", "trans", "cc", "sheen", "oren",
-                       "blend", "disney")),
-        ems_E=getattr(table, "ems_E", None),
-        ems_Eavg=getattr(table, "ems_Eavg", None),
-    )
+        params = bsdf.LobeParams(
+            kd=kd, sigma=g(table.sigma), diffuse_kind=g(table.diffuse_kind),
+            diffuse_weight=g(table.diffuse_weight) * wvalid,
+            spec_tint=spec_tint, ax=ax, ay=ay,
+            fr_mode=g(table.fr_mode), eta=eta,
+            eta3=eta3, k3=k3,
+            spec_weight=g(table.spec_weight) * wvalid,
+            trans_weight=g(table.trans_weight) * wvalid,
+            cc_weight=g(table.cc_weight) * wvalid, cc_alpha=g(table.cc_alpha),
+            sheen_weight=g(table.sheen_weight) * wvalid,
+            sheen_tint=sheen_tint,
+            flatness=g(table.flatness), metallic=g(table.metallic),
+            feats=feats,
+            ems_E=getattr(table, "ems_E", None),
+            ems_Eavg=getattr(table, "ems_Eavg", None),
+        )
+        return params, dispersive
+
+    params, dispersive = _one(mid)
+    if "mix2" in feats:
+        midb_raw = table.mix_b[mid]
+        has_b = midb_raw >= 0
+        midb = jnp.clip(midb_raw, 0, table.kd.shape[0] - 1)
+        params_b, disp_b = _one(midb)
+        wa = table.mix_wa[mid]
+        wb = table.mix_wb[mid]
+        if textured:
+            ftex = table.frac_tex[mid]
+            frac_t = atlas.sample(ftex, uv)[..., 0]
+            wa = jnp.where(ftex >= 0, frac_t, wa)
+            wb = jnp.where(ftex >= 0, 1.0 - frac_t, wb)
+        wa = jnp.where(has_b, wa, 1.0)
+        wb = jnp.where(has_b, wb, 0.0)
+        params = params.replace(mix_b=params_b, mix_wa=wa, mix_wb=wb)
+        dispersive = dispersive | (disp_b & has_b)
     return params, dispersive & valid
