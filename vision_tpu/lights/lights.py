@@ -79,6 +79,15 @@ class LightTable:
     sel_prob: jnp.ndarray     # [L]
     sel_alias: jnp.ndarray
     sel_pmf: jnp.ndarray      # [L] pmf of selecting light l (excluding env split)
+    # static light-type usage flags (same design as LobeParams.feats): type
+    # branches for light kinds absent from the scene compile to nothing.
+    # "tex" marks that some non-env light carries a texture slot.
+    feats: tuple = struct.field(pytree_node=False,
+                                default=("area", "point", "spot", "proj",
+                                         "env", "dir", "tex"))
+
+    def has(self, name):
+        return name in self.feats
 
 
 @struct.dataclass
@@ -150,6 +159,9 @@ def select_light(table, u):
     """Pick a light id: env with prob env_prob, else alias over sel weights.
     Returns (light_id, pmf, u_remapped)."""
     L = table.ltype.shape[0]
+    if L == 1 and table.env_index < 0:
+        # single-light fast path: no alias walk, u passes through untouched
+        return jnp.zeros(u.shape, jnp.int32), jnp.ones_like(u), u
     if table.env_index >= 0 and L > 1:
         ep = table.env_prob
         pick_env = u < ep
@@ -182,124 +194,153 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
     lid, sel_pmf, u_sel2 = select_light(table, u_sel)
     lt = table.ltype[lid]
     color = table.color[lid]
-    ctex = table.color_tex[lid]
-    pos = table.position[lid]
 
     shape = ref_pos.shape[:-1]
+    zeros = jnp.zeros(shape)
+    false = jnp.zeros(shape, bool)
     zero3 = jnp.zeros(shape + (3,))
 
-    # ---- area light: pick triangle by alias over areas, warp to barycentric
-    off = table.tri_offset[lid]
-    cnt = jnp.maximum(table.tri_count[lid], 1)
-    tri_i, tri_pmf, u_rem = sample_alias(table.a_prob, table.a_alias,
-                                         table.a_pmf, u_sel2, off, cnt)
-    gtri = table.tri_base[lid] + tri_i
-    gtri = jnp.clip(gtri, 0, tri_pack.shape[0] - 1)
-    trow = tri_pack[gtri]
-    p0 = trow[..., 0:3]
-    e1 = trow[..., 3:6]
-    e2 = trow[..., 6:9]
-    u_tri = jnp.stack([u_rem, u2[..., 1]], -1)
-    b = warp.square_to_triangle(u_tri)
-    p_area = p0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
-    uv_area = (b0 * trow[..., 18:20] + b[..., 0:1] * trow[..., 20:22]
-               + b[..., 1:2] * trow[..., 22:24])
-    ng_l = jnp.cross(e1, e2)
-    area2 = jnp.sqrt(jnp.maximum(jnp.sum(ng_l * ng_l, -1), 1e-20))
-    ng_l = ng_l / area2[..., None]
-    to_ref = ref_pos - p_area
-    dist2_a = jnp.maximum(jnp.sum(to_ref * to_ref, -1), 1e-12)
-    w_lr = to_ref / jnp.sqrt(dist2_a)[..., None]
-    front = jnp.sum(w_lr * ng_l, -1)
-    vis_a = (front > 0.0) | (table.two_sided[lid] > 0)
-    # pdf_pos = 1/total_area (alias pmf folds the per-tri area back in)
-    pdf_pos = safe_div(1.0, table.total_area[lid])
-    cos_l = jnp.abs(front)
-    pdf_a = safe_div(pdf_pos * dist2_a, cos_l)
-    L_a = color * vis_a[..., None]
-    # textured emission (light.h color slot evaluated at the surface uv)
-    if getattr(atlas, "has_textures", True):
-        tex_a = atlas.sample(ctex, uv_area)
-        L_a = L_a * jnp.where((ctex >= 0)[..., None], tex_a,
-                              jnp.ones_like(tex_a))
+    # per-type masks; absent types are statically False so every masked
+    # branch below (and its gathers/atlas fetches) compiles to nothing
+    is_area = (lt == L_AREA) if table.has("area") else false
+    is_point = (lt == L_POINT) if table.has("point") else false
+    is_spot = (lt == L_SPOT) if table.has("spot") else false
+    is_proj = (lt == L_PROJECTOR) if table.has("proj") else false
+    is_env = (lt == L_SPHERICAL) if (table.has("env")
+                                     and table.env_index >= 0) else false
+    is_dir = (lt == L_DIRECTIONAL) if table.has("dir") else false
 
-    # ---- point / spot / projector (delta)
-    to_light = pos - ref_pos
-    d2 = jnp.maximum(jnp.sum(to_light * to_light, -1), 1e-12)
-    L_p = color / d2[..., None]
-    dirn = table.direction[lid]
-    w_from_light = -to_light / jnp.sqrt(d2)[..., None]
-    fall = _falloff_spot(jnp.sum(dirn * w_from_light, -1),
-                         table.cos_angle[lid], table.cos_falloff[lid])
-    L_s = L_p * fall[..., None]
-    # projector: transform ref into light space
-    pl = _rotate(table.w2o[lid], ref_pos - pos)
-    valid_pr = pl[..., 2] > 0.0
-    pxy = pl[..., :2] / jnp.maximum(pl[..., 2:3], 1e-8)
-    txy = table.tan_xy[lid]
-    uv_pr = (pxy + txy) / (2.0 * txy)
-    in_frame = valid_pr & jnp.all((uv_pr >= 0.0) & (uv_pr <= 1.0), -1)
-    if getattr(atlas, "has_textures", True):
-        tex_pr = atlas.sample(ctex, uv_pr)
-        proj_col = jnp.where((ctex >= 0)[..., None], tex_pr,
-                             jnp.ones_like(tex_pr))
-    else:
-        proj_col = jnp.ones(uv_pr.shape[:-1] + (3,))
-    L_pr = color * proj_col / d2[..., None] * in_frame[..., None]
+    wi = zero3
+    L = zero3
+    p_light = ref_pos
+    pdf = jnp.ones(shape)
+    dist2 = jnp.ones(shape)
+
+    # ---- area light: pick triangle by alias over areas, warp to barycentric
+    if table.has("area"):
+        off = table.tri_offset[lid]
+        cnt = jnp.maximum(table.tri_count[lid], 1)
+        tri_i, tri_pmf, u_rem = sample_alias(table.a_prob, table.a_alias,
+                                             table.a_pmf, u_sel2, off, cnt)
+        gtri = table.tri_base[lid] + tri_i
+        gtri = jnp.clip(gtri, 0, tri_pack.shape[0] - 1)
+        trow = tri_pack[gtri]
+        p0 = trow[..., 0:3]
+        e1 = trow[..., 3:6]
+        e2 = trow[..., 6:9]
+        u_tri = jnp.stack([u_rem, u2[..., 1]], -1)
+        b = warp.square_to_triangle(u_tri)
+        p_area = p0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+        ng_l = jnp.cross(e1, e2)
+        area2 = jnp.sqrt(jnp.maximum(jnp.sum(ng_l * ng_l, -1), 1e-20))
+        ng_l = ng_l / area2[..., None]
+        to_ref = ref_pos - p_area
+        dist2_a = jnp.maximum(jnp.sum(to_ref * to_ref, -1), 1e-12)
+        w_lr = to_ref / jnp.sqrt(dist2_a)[..., None]
+        front = jnp.sum(w_lr * ng_l, -1)
+        vis_a = (front > 0.0) | (table.two_sided[lid] > 0)
+        # pdf_pos = 1/total_area (alias pmf folds the per-tri area back in)
+        pdf_pos = safe_div(1.0, table.total_area[lid])
+        cos_l = jnp.abs(front)
+        pdf_a = safe_div(pdf_pos * dist2_a, cos_l)
+        L_a = color * vis_a[..., None]
+        # textured emission (light.h color slot evaluated at the surface uv)
+        if table.has("tex") and getattr(atlas, "has_textures", True):
+            b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
+            uv_area = (b0 * trow[..., 18:20] + b[..., 0:1] * trow[..., 20:22]
+                       + b[..., 1:2] * trow[..., 22:24])
+            ctex = table.color_tex[lid]
+            tex_a = atlas.sample(ctex, uv_area)
+            L_a = L_a * jnp.where((ctex >= 0)[..., None], tex_a,
+                                  jnp.ones_like(tex_a))
+        m = is_area[..., None]
+        wi = jnp.where(m, normalize(p_area - ref_pos), wi)
+        p_light = jnp.where(m, p_area, p_light)
+        L = jnp.where(m, L_a, L)
+        pdf = jnp.where(is_area, pdf_a, pdf)
+        dist2 = jnp.where(is_area, dist2_a, dist2)
+
+    # ---- point / spot / projector (delta, positional)
+    if table.has("point") or table.has("spot") or table.has("proj"):
+        pos = table.position[lid]
+        to_light = pos - ref_pos
+        d2 = jnp.maximum(jnp.sum(to_light * to_light, -1), 1e-12)
+        wi_near = normalize(to_light)
+        L_p = color / d2[..., None]
+        near = is_point | is_spot | is_proj
+        m = near[..., None]
+        wi = jnp.where(m, wi_near, wi)
+        p_light = jnp.where(m, pos, p_light)
+        dist2 = jnp.where(near, d2, dist2)
+        if table.has("point"):
+            L = jnp.where(is_point[..., None], L_p, L)
+        if table.has("spot"):
+            dirn_s = table.direction[lid]
+            w_from_light = -wi_near
+            fall = _falloff_spot(jnp.sum(dirn_s * w_from_light, -1),
+                                 table.cos_angle[lid], table.cos_falloff[lid])
+            L = jnp.where(is_spot[..., None], L_p * fall[..., None], L)
+        if table.has("proj"):
+            # projector: transform ref into light space
+            pl = _rotate(table.w2o[lid], ref_pos - pos)
+            valid_pr = pl[..., 2] > 0.0
+            pxy = pl[..., :2] / jnp.maximum(pl[..., 2:3], 1e-8)
+            txy = table.tan_xy[lid]
+            uv_pr = (pxy + txy) / (2.0 * txy)
+            in_frame = valid_pr & jnp.all((uv_pr >= 0.0) & (uv_pr <= 1.0), -1)
+            if getattr(atlas, "has_textures", True):
+                ctex = table.color_tex[lid]
+                tex_pr = atlas.sample(ctex, uv_pr)
+                proj_col = jnp.where((ctex >= 0)[..., None], tex_pr,
+                                     jnp.ones_like(tex_pr))
+            else:
+                proj_col = jnp.ones(uv_pr.shape[:-1] + (3,))
+            L_pr = color * proj_col / d2[..., None] * in_frame[..., None]
+            L = jnp.where(is_proj[..., None], L_pr, L)
 
     # ---- spherical env: alias over pixels
-    W = table.env_w
-    H = table.env_h
-    n_px = jnp.maximum(W * H, 1)
-    px, px_pmf, u_rem2 = sample_alias(table.e_prob, table.e_alias, table.e_pmf,
-                                      u_sel2, 0, n_px)
-    py = px // jnp.maximum(W, 1)
-    pxx = px - py * W
-    uv_e = jnp.stack([(pxx.astype(jnp.float32) + u_rem2) / jnp.maximum(W, 1),
-                      (py.astype(jnp.float32) + u2[..., 1]) / jnp.maximum(H, 1)], -1)
-    theta = uv_e[..., 1] * Pi
-    phi = uv_e[..., 0] * TwoPi
-    sin_t = jnp.sin(theta)
-    local_dir = vec3(jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, jnp.cos(theta))
-    o2w_env = jnp.swapaxes(table.w2o[lid], -1, -2)
-    wi_env = _rotate(o2w_env, local_dir)
-    pdf_e = safe_div(px_pmf * n_px.astype(jnp.float32),
-                     2.0 * Pi * Pi * jnp.maximum(sin_t, 1e-6))
-    pdf_e = jnp.where(sin_t > 1e-6, pdf_e, 0.0)
-    L_e = _sample_env_tex(table, atlas, uv_e) * color
+    if table.has("env") and table.env_index >= 0:
+        W = table.env_w
+        H = table.env_h
+        n_px = jnp.maximum(W * H, 1)
+        px, px_pmf, u_rem2 = sample_alias(table.e_prob, table.e_alias,
+                                          table.e_pmf, u_sel2, 0, n_px)
+        py = px // jnp.maximum(W, 1)
+        pxx = px - py * W
+        uv_e = jnp.stack(
+            [(pxx.astype(jnp.float32) + u_rem2) / jnp.maximum(W, 1),
+             (py.astype(jnp.float32) + u2[..., 1]) / jnp.maximum(H, 1)], -1)
+        theta = uv_e[..., 1] * Pi
+        phi = uv_e[..., 0] * TwoPi
+        sin_t = jnp.sin(theta)
+        local_dir = vec3(jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t,
+                         jnp.cos(theta))
+        o2w_env = jnp.swapaxes(table.w2o[lid], -1, -2)
+        wi_env = _rotate(o2w_env, local_dir)
+        pdf_e = safe_div(px_pmf * n_px.astype(jnp.float32),
+                         2.0 * Pi * Pi * jnp.maximum(sin_t, 1e-6))
+        pdf_e = jnp.where(sin_t > 1e-6, pdf_e, 0.0)
+        L_e = _sample_env_tex(table, atlas, uv_e) * color
+        m = is_env[..., None]
+        wi = jnp.where(m, wi_env, wi)
+        L = jnp.where(m, L_e, L)
+        pdf = jnp.where(is_env, pdf_e, pdf)
 
-    # ---- combine by type
-    is_area = lt == L_AREA
-    is_point = lt == L_POINT
-    is_spot = lt == L_SPOT
-    is_proj = lt == L_PROJECTOR
-    is_env = lt == L_SPHERICAL
-    is_dir = lt == L_DIRECTIONAL
+    # ---- directional (directional.cpp): delta; wi = -direction, L = color
+    if table.has("dir"):
+        dirn = table.direction[lid]
+        m = is_dir[..., None]
+        wi = jnp.where(m, -dirn, wi)
+        L = jnp.where(m, color, L)
 
-    # directional (directional.cpp): delta; wi = -direction, L = color
-    wi_dir = -dirn
-
-    wi_near = normalize(to_light)
     far = is_env | is_dir
-    wi = jnp.where(is_area[..., None], normalize(p_area - ref_pos),
-         jnp.where(is_env[..., None], wi_env,
-         jnp.where(is_dir[..., None], wi_dir, wi_near)))
-    p_light = jnp.where(is_area[..., None], p_area,
-              jnp.where(far[..., None], ref_pos + wi * (2.0 * world_radius),
-                        pos))
-    L = jnp.where(is_area[..., None], L_a,
-        jnp.where(is_point[..., None], L_p,
-        jnp.where(is_spot[..., None], L_s,
-        jnp.where(is_proj[..., None], L_pr,
-        jnp.where(is_dir[..., None], color, L_e)))))
+    p_light = jnp.where(far[..., None],
+                        ref_pos + wi * (2.0 * world_radius), p_light)
     L = _decode_illum(L, spectrum, swl)
     delta = is_point | is_spot | is_proj | is_dir
-    pdf = jnp.where(is_area, pdf_a, jnp.where(is_env, pdf_e, 1.0))
     pdf = pdf * sel_pmf
     pdf = jnp.where(delta, -pdf, pdf)
-    dist = jnp.where(far, 2.0 * world_radius,
-                     jnp.sqrt(jnp.where(is_area, dist2_a, d2)))
+    dist = jnp.where(far, 2.0 * world_radius, jnp.sqrt(dist2))
     return LightSample(p_light=p_light, wi=wi, L=L, pdf=pdf, dist=dist)
 
 
@@ -310,7 +351,8 @@ def eval_hit_area(table, light_id, prim_id, tri_base_area, ref_pos, hit_pos,
     lid = jnp.clip(light_id, 0, table.ltype.shape[0] - 1)
     color = table.color[lid]
     ctex = table.color_tex[lid]
-    if hit_uv is not None and getattr(atlas, "has_textures", True):
+    if (hit_uv is not None and table.has("tex")
+            and getattr(atlas, "has_textures", True)):
         tex = atlas.sample(ctex, hit_uv)
         color = color * jnp.where((ctex >= 0)[..., None], tex,
                                   jnp.ones_like(tex))
@@ -470,7 +512,17 @@ class LightBuilder:
         def col(key, dtype=np.float32):
             return jnp.asarray(np.asarray([r[key] for r in rows]), dtype)
 
+        # static type-usage flags -> sample_wi/eval compile only live branches
+        types = {r["ltype"] for r in rows}
+        name_of = {L_AREA: "area", L_POINT: "point", L_SPOT: "spot",
+                   L_PROJECTOR: "proj", L_SPHERICAL: "env",
+                   L_DIRECTIONAL: "dir"}
+        feats = tuple(sorted(name_of[t] for t in types)) + ((
+            ("tex",) if any(r["color_tex"] >= 0 and r["ltype"] != L_SPHERICAL
+                            for r in rows) else ()))
+
         return LightTable(
+            feats=feats,
             n_lights=L, env_index=env_index,
             env_prob=float(np.clip(self.env_prob, 0.01, 0.99)),
             ltype=col("ltype", np.int32), color=col("color"),
