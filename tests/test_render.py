@@ -48,6 +48,22 @@ class TestCbox:
         b = render(sc, spp=2)
         np.testing.assert_array_equal(a, b)
 
+    def test_render_wave_matches_fori(self):
+        """Regeneration pool vs bounce-major fori: identical RNG streams per
+        (pixel, sample) -> identical mean image (modulo accumulation order)."""
+        from vision_tpu.integrator import pt
+        sc = Scene(small_cbox(32))
+        spp = 8
+        imgs = [np.asarray(pt.render_sample(sc.data, sc.camera, sc.filter,
+                                            jnp.uint32(i), max_depth=4)[0])
+                for i in range(spp)]
+        ref = np.mean(imgs, 0)
+        wave, aovs = pt.render_wave(sc.data, sc.camera, sc.filter, 0, spp,
+                                    max_depth=4)
+        np.testing.assert_allclose(np.asarray(wave), ref, rtol=2e-4, atol=2e-5)
+        # regeneration must beat the fori iteration count (spp * depth)
+        assert int(aovs["iters"]) <= spp * 4
+
     def test_depth1_direct_only_darker(self):
         sc = Scene(small_cbox(48))
         full = render(sc, spp=4)

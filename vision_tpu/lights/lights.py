@@ -29,6 +29,7 @@ from ..core.math import (Inv2Pi, InvPi, Pi, TwoPi, dot, length_squared,
                          spherical_theta, vec3)
 from ..core import warp
 from .alias import build_alias, sample_alias
+from ..core.gather import fetch_rows
 
 
 def _decode_illum(rgb, spectrum, swl):
@@ -192,8 +193,16 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
     rows (p0 e1 e2 ... uv0 uv1 uv2) for area lights. Returns LightSample;
     L is [..., S] (spectral under a hero SpectrumModel)."""
     lid, sel_pmf, u_sel2 = select_light(table, u_sel)
-    lt = table.ltype[lid]
-    color = table.color[lid]
+    # one fused row fetch for every per-light column used below (the
+    # serialized-gather fix: see core/gather.py)
+    (lt, color, l_ctex, l_pos, l_dir, l_cosang, l_cosfall, l_tanxy, l_w2o,
+     l_two, l_area_tot, l_toff, l_tcnt, l_tbase) = fetch_rows(
+        [table.ltype, table.color, table.color_tex, table.position,
+         table.direction, table.cos_angle, table.cos_falloff, table.tan_xy,
+         table.w2o.reshape(table.w2o.shape[0], 9), table.two_sided,
+         table.total_area, table.tri_offset, table.tri_count,
+         table.tri_base], lid)
+    l_w2o = l_w2o.reshape(l_w2o.shape[:-1] + (3, 3))
 
     shape = ref_pos.shape[:-1]
     zeros = jnp.zeros(shape)
@@ -218,13 +227,13 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
 
     # ---- area light: pick triangle by alias over areas, warp to barycentric
     if table.has("area"):
-        off = table.tri_offset[lid]
-        cnt = jnp.maximum(table.tri_count[lid], 1)
+        off = l_toff
+        cnt = jnp.maximum(l_tcnt, 1)
         tri_i, tri_pmf, u_rem = sample_alias(table.a_prob, table.a_alias,
                                              table.a_pmf, u_sel2, off, cnt)
-        gtri = table.tri_base[lid] + tri_i
+        gtri = l_tbase + tri_i
         gtri = jnp.clip(gtri, 0, tri_pack.shape[0] - 1)
-        trow = tri_pack[gtri]
+        trow = fetch_rows([tri_pack], gtri)[0]
         p0 = trow[..., 0:3]
         e1 = trow[..., 3:6]
         e2 = trow[..., 6:9]
@@ -238,9 +247,9 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
         dist2_a = jnp.maximum(jnp.sum(to_ref * to_ref, -1), 1e-12)
         w_lr = to_ref / jnp.sqrt(dist2_a)[..., None]
         front = jnp.sum(w_lr * ng_l, -1)
-        vis_a = (front > 0.0) | (table.two_sided[lid] > 0)
+        vis_a = (front > 0.0) | (l_two > 0)
         # pdf_pos = 1/total_area (alias pmf folds the per-tri area back in)
-        pdf_pos = safe_div(1.0, table.total_area[lid])
+        pdf_pos = safe_div(1.0, l_area_tot)
         cos_l = jnp.abs(front)
         pdf_a = safe_div(pdf_pos * dist2_a, cos_l)
         L_a = color * vis_a[..., None]
@@ -249,7 +258,7 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
             b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
             uv_area = (b0 * trow[..., 18:20] + b[..., 0:1] * trow[..., 20:22]
                        + b[..., 1:2] * trow[..., 22:24])
-            ctex = table.color_tex[lid]
+            ctex = l_ctex
             tex_a = atlas.sample(ctex, uv_area)
             L_a = L_a * jnp.where((ctex >= 0)[..., None], tex_a,
                                   jnp.ones_like(tex_a))
@@ -262,7 +271,7 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
 
     # ---- point / spot / projector (delta, positional)
     if table.has("point") or table.has("spot") or table.has("proj"):
-        pos = table.position[lid]
+        pos = l_pos
         to_light = pos - ref_pos
         d2 = jnp.maximum(jnp.sum(to_light * to_light, -1), 1e-12)
         wi_near = normalize(to_light)
@@ -275,21 +284,21 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
         if table.has("point"):
             L = jnp.where(is_point[..., None], L_p, L)
         if table.has("spot"):
-            dirn_s = table.direction[lid]
+            dirn_s = l_dir
             w_from_light = -wi_near
             fall = _falloff_spot(jnp.sum(dirn_s * w_from_light, -1),
-                                 table.cos_angle[lid], table.cos_falloff[lid])
+                                 l_cosang, l_cosfall)
             L = jnp.where(is_spot[..., None], L_p * fall[..., None], L)
         if table.has("proj"):
             # projector: transform ref into light space
-            pl = _rotate(table.w2o[lid], ref_pos - pos)
+            pl = _rotate(l_w2o, ref_pos - pos)
             valid_pr = pl[..., 2] > 0.0
             pxy = pl[..., :2] / jnp.maximum(pl[..., 2:3], 1e-8)
-            txy = table.tan_xy[lid]
+            txy = l_tanxy
             uv_pr = (pxy + txy) / (2.0 * txy)
             in_frame = valid_pr & jnp.all((uv_pr >= 0.0) & (uv_pr <= 1.0), -1)
             if getattr(atlas, "has_textures", True):
-                ctex = table.color_tex[lid]
+                ctex = l_ctex
                 tex_pr = atlas.sample(ctex, uv_pr)
                 proj_col = jnp.where((ctex >= 0)[..., None], tex_pr,
                                      jnp.ones_like(tex_pr))
@@ -315,7 +324,7 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
         sin_t = jnp.sin(theta)
         local_dir = vec3(jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t,
                          jnp.cos(theta))
-        o2w_env = jnp.swapaxes(table.w2o[lid], -1, -2)
+        o2w_env = jnp.swapaxes(l_w2o, -1, -2)
         wi_env = _rotate(o2w_env, local_dir)
         pdf_e = safe_div(px_pmf * n_px.astype(jnp.float32),
                          2.0 * Pi * Pi * jnp.maximum(sin_t, 1e-6))
@@ -328,7 +337,7 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
 
     # ---- directional (directional.cpp): delta; wi = -direction, L = color
     if table.has("dir"):
-        dirn = table.direction[lid]
+        dirn = l_dir
         m = is_dir[..., None]
         wi = jnp.where(m, -dirn, wi)
         L = jnp.where(m, color, L)
@@ -349,8 +358,9 @@ def eval_hit_area(table, light_id, prim_id, tri_base_area, ref_pos, hit_pos,
     """(L, pdf_wi) when a scatter ray hits an emissive surface
     (lightsampler.cpp evaluate_hit_wi). pdf includes light selection pmf."""
     lid = jnp.clip(light_id, 0, table.ltype.shape[0] - 1)
-    color = table.color[lid]
-    ctex = table.color_tex[lid]
+    color, ctex, two, area_tot, selp = fetch_rows(
+        [table.color, table.color_tex, table.two_sided, table.total_area,
+         table.sel_pmf], lid)
     if (hit_uv is not None and table.has("tex")
             and getattr(atlas, "has_textures", True)):
         tex = atlas.sample(ctex, hit_uv)
@@ -358,12 +368,17 @@ def eval_hit_area(table, light_id, prim_id, tri_base_area, ref_pos, hit_pos,
                                   jnp.ones_like(tex))
     w = ref_pos - hit_pos
     front = dot(normalize(w), hit_ng)
-    vis = (front > 0.0) | (table.two_sided[lid] > 0)
+    vis = (front > 0.0) | (two > 0)
     L = _decode_illum(color, spectrum, swl) * vis[..., None]
-    pdf_pos = safe_div(1.0, table.total_area[lid])
+    pdf_pos = safe_div(1.0, area_tot)
     pdf_wi = warp.pdf_wi_from_point(pdf_pos, hit_ng, w)
     pdf_wi = jnp.where(jnp.isfinite(pdf_wi), pdf_wi, 0.0)
-    pdf_wi = pdf_wi * light_pmf(table, lid)
+    if table.env_index >= 0 and table.ltype.shape[0] > 1:
+        sel = jnp.where(lid == table.env_index, table.env_prob,
+                        selp * (1.0 - table.env_prob))
+    else:
+        sel = selp
+    pdf_wi = pdf_wi * sel
     ok = light_id >= 0
     return jnp.where(ok[..., None], L, 0.0), jnp.where(ok, pdf_wi, 0.0)
 
