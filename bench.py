@@ -30,10 +30,12 @@ def main():
     s["camera"]["param"]["radiance_collector"]["param"]["resolution"] = [RES, RES]
     sc = Scene(s)
 
+    SPP = 16
+
     @jax.jit
-    def pass_fn(scene, camera, filt, frame):
-        img, aovs = pt.render_sample(scene, camera, filt, frame,
-                                     max_depth=DEPTH)
+    def pass_fn(scene, camera, filt, frame0):
+        img, aovs = pt.render_wave(scene, camera, filt, frame0,
+                                   spp=SPP, max_depth=DEPTH)
         return img, aovs["nrays"]
 
     nrays_total = 0.0
@@ -43,7 +45,8 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        img, nr = pass_fn(sc.data, sc.camera, sc.filter, jnp.uint32(100 + i))
+        img, nr = pass_fn(sc.data, sc.camera, sc.filter,
+                          jnp.uint32(100 + i * SPP))
         nrays_total += float(nr)
     img.block_until_ready()
     dt = time.perf_counter() - t0

@@ -1,0 +1,390 @@
+"""Packet-BVH: Pallas TPU traversal for large scenes.
+
+TPU-native replacement for OptiX BLAS traversal on big meshes
+(`/root/reference/src/base/mgr/geometry.cpp:168-185`), replacing the XLA
+gather while_loop (accel/intersect.py intersect_bvh) which pays a full
+[R]-wide gather per lock-step node visit and is unusable above ~10k tris.
+
+Design — mapped to the hardware rather than to the CUDA model:
+
+  * rays are processed in BLOCKS of RT=1024 (one grid program per block);
+    a block shares ONE traversal: a scalar skip-link walk over a coarse
+    BVH whose leaves are BRICKs of 64 Morton-contiguous triangles.
+    The walk lives entirely in scalar registers + SMEM (node AABBs and
+    skip links are scalar-prefetch arrays), so a traversal step costs
+    ~tens of scalar cycles plus one fused (1, RT) slab test on the VPU —
+    no gathers anywhere.
+  * a brick is visited only if ANY ray in the block hits its AABB closer
+    than its current best t; its 64 triangles are then DMA'd HBM->VMEM
+    (16 KB) and swept densely through Möller-Trumbore in (8, RT) chunks —
+    exactly the layout of the dense kernel (pallas_isect.py), full VPU
+    lanes, zero irregular access.
+  * per-block divergence is bounded by ray coherence; the renderer maps
+    lanes to Morton pixel order so blocks are ~32x32 pixel tiles.
+
+The two-level structure (coarse tree + dense brick sweeps) is the TPU
+analog of BLAS traversal: the hierarchy culls in scalar space, the VPU
+only ever sees dense rectangles of work.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import Hit
+from .bvh import _morton3
+
+_EPS = 1e-9
+_BIG = 3e38
+RT = 1024       # rays per block (lanes)
+BRICK = 64      # triangles per leaf brick
+TSUB = 8        # triangles per MT chunk (sublanes)
+
+
+@struct.dataclass
+class PacketBVH:
+    skip: jnp.ndarray        # [n_nodes] i32 DFS miss link (-1 done)
+    lo_x: jnp.ndarray        # [n_nodes] f32 node AABB (6 component arrays)
+    lo_y: jnp.ndarray
+    lo_z: jnp.ndarray
+    hi_x: jnp.ndarray
+    hi_y: jnp.ndarray
+    hi_z: jnp.ndarray
+    tri: jnp.ndarray         # [n_bricks*BRICK, 128] f32: p0 e1 e2 (cols 0-8;
+                             # lane-padded to 128 so per-brick DMA slices are
+                             # tile-aligned — Mosaic requires 128-lane slices)
+    prim_order: jnp.ndarray  # [n_bricks*BRICK] i32 original tri id (-1 pad)
+    first_leaf: int = struct.field(pytree_node=False)
+    n_nodes: int = struct.field(pytree_node=False)
+
+
+def build_packet_bvh(p0, p1, p2, brick=BRICK):
+    """Host build: Morton-sort triangles, chunk into bricks, implicit
+    perfectly-balanced heap over brick AABBs with DFS skip links.
+    p0/p1/p2: [T, 3] float32 triangle vertices."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    n = len(p0)
+
+    cent = (p0 + p1 + p2) / 3.0
+    lo = cent.min(0)
+    hi = cent.max(0)
+    ext = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((cent - lo) / ext) * 1023.0, 0, 1023).astype(np.uint32)
+    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+
+    n_bricks = max(1, -(-n // brick))
+    depth = max(0, int(np.ceil(np.log2(n_bricks))))
+    n_bricks_p = 1 << depth
+    n_prims_p = n_bricks_p * brick
+
+    prim_order = np.full(n_prims_p, -1, np.int64)
+    prim_order[:n] = order
+
+    big = np.float32(_BIG)
+    pmin = np.full((n_prims_p, 3), big, np.float32)
+    pmax = np.full((n_prims_p, 3), -big, np.float32)
+    sp0, sp1, sp2 = p0[order], p1[order], p2[order]
+    pmin[:n] = np.minimum(np.minimum(sp0, sp1), sp2)
+    pmax[:n] = np.maximum(np.maximum(sp0, sp1), sp2)
+
+    bmin = pmin.reshape(n_bricks_p, brick, 3).min(1)
+    bmax = pmax.reshape(n_bricks_p, brick, 3).max(1)
+
+    n_nodes = 2 * n_bricks_p - 1
+    node_min = np.full((n_nodes, 3), big, np.float32)
+    node_max = np.full((n_nodes, 3), -big, np.float32)
+    first_leaf = n_bricks_p - 1
+    node_min[first_leaf:] = bmin
+    node_max[first_leaf:] = bmax
+    cur_min, cur_max = bmin, bmax
+    for d in range(depth - 1, -1, -1):
+        cur_min = np.minimum(cur_min[0::2], cur_min[1::2])
+        cur_max = np.maximum(cur_max[0::2], cur_max[1::2])
+        off = (1 << d) - 1
+        node_min[off:off + (1 << d)] = cur_min
+        node_max[off:off + (1 << d)] = cur_max
+
+    skip = np.full(n_nodes, -1, np.int64)
+    for d in range(0, depth):
+        off = (1 << d) - 1
+        nodes = np.arange(off, off + (1 << d))
+        skip[nodes * 2 + 1] = nodes * 2 + 2
+        skip[nodes * 2 + 2] = skip[nodes]
+
+    # brick triangle table in traversal order (padding rows = degenerate)
+    tri = np.zeros((n_prims_p, 128), np.float32)
+    valid = prim_order >= 0
+    tri[valid, 0:3] = sp0[:n]
+    tri[valid, 3:6] = sp1[:n] - sp0[:n]
+    tri[valid, 6:9] = sp2[:n] - sp0[:n]
+
+    return PacketBVH(
+        skip=jnp.asarray(skip, jnp.int32),
+        lo_x=jnp.asarray(node_min[:, 0]), lo_y=jnp.asarray(node_min[:, 1]),
+        lo_z=jnp.asarray(node_min[:, 2]),
+        hi_x=jnp.asarray(node_max[:, 0]), hi_y=jnp.asarray(node_max[:, 1]),
+        hi_z=jnp.asarray(node_max[:, 2]),
+        tri=jnp.asarray(tri),
+        prim_order=jnp.asarray(prim_order, jnp.int32),
+        first_leaf=int(first_leaf),
+        n_nodes=int(n_nodes),
+    )
+
+
+def _ray_rows(rays_ref):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmax = rays_ref[6:7, :]
+
+    def rcp(v):
+        a = jnp.where(jnp.abs(v) > 1e-12, v, jnp.where(v >= 0, 1e-12, -1e-12))
+        return 1.0 / a
+    return ox, oy, oz, dx, dy, dz, rcp(dx), rcp(dy), rcp(dz), tmax
+
+
+def _slab(o_i, inv, lo, hi):
+    a = (lo - o_i) * inv
+    b = (hi - o_i) * inv
+    return jnp.minimum(a, b), jnp.maximum(a, b)
+
+
+def _mt_scr(tri_ref, k, ox, oy, oz, dx, dy, dz):
+    """MT sweep of chunk k (TSUB tris) from the VMEM brick scratch vs all
+    rays of this block. Mirrors pallas_isect._mt_chunk."""
+    row = pl.ds(pl.multiple_of(k * TSUB, TSUB), TSUB)
+    p0x = tri_ref[row, 0:1]
+    p0y = tri_ref[row, 1:2]
+    p0z = tri_ref[row, 2:3]
+    e1x = tri_ref[row, 3:4]
+    e1y = tri_ref[row, 4:5]
+    e1z = tri_ref[row, 5:6]
+    e2x = tri_ref[row, 6:7]
+    e2y = tri_ref[row, 7:8]
+    e2z = tri_ref[row, 8:9]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = jnp.where(jnp.abs(det) > _EPS,
+                        1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    ok = ((jnp.abs(det) > _EPS) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > 0.0))
+    return t, u, v, ok
+
+
+def _closest_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
+                    loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
+                    out_ref, best_ref, tri_scr, sem):
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
+    best_ref[0:1, :] = tmax
+    best_ref[1:2, :] = jnp.full((1, RT), -1.0)
+    best_ref[2:4, :] = jnp.zeros((2, RT))
+
+    def body(carry):
+        node, steps, leaves = carry
+        lo0 = lox_ref[node]
+        lo1 = loy_ref[node]
+        lo2 = loz_ref[node]
+        hi0 = hix_ref[node]
+        hi1 = hiy_ref[node]
+        hi2 = hiz_ref[node]
+        n0x, f0x = _slab(ox, ix, lo0, hi0)
+        n0y, f0y = _slab(oy, iy, lo1, hi1)
+        n0z, f0z = _slab(oz, iz, lo2, hi2)
+        tnear = jnp.maximum(jnp.maximum(n0x, n0y), jnp.maximum(n0z, 0.0))
+        tfar = jnp.minimum(jnp.minimum(f0x, f0y), f0z)
+        bt = best_ref[0:1, :]
+        box_hit = jnp.max(jnp.where((tfar >= tnear) & (tnear < bt),
+                                    1.0, 0.0)) > 0.5
+        is_leaf = node >= first_leaf
+
+        @pl.when(box_hit & is_leaf)
+        def _():
+            brick = node - first_leaf
+            cp = pltpu.make_async_copy(
+                tris_ref.at[pl.ds(pl.multiple_of(brick * BRICK, BRICK),
+                                  BRICK), :], tri_scr, sem)
+            cp.start()
+            cp.wait()
+            c0 = best_ref[0:1, :]
+            c1 = best_ref[1:2, :]
+            c2 = best_ref[2:3, :]
+            c3 = best_ref[3:4, :]
+
+            def chunk(k, carry):
+                bt_, bi_, bu_, bv_ = carry
+                t, u, v, ok = _mt_scr(tri_scr, k, ox, oy, oz, dx, dy, dz)
+                t = jnp.where(ok, t, _BIG)
+                tmin = jnp.min(t, axis=0, keepdims=True)
+                gid = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                       + (brick * BRICK + k * TSUB)).astype(jnp.float32)
+                imin = jnp.min(jnp.where(t == tmin, gid, _BIG), axis=0,
+                               keepdims=True)
+                sel = (t == tmin) & (gid == imin)
+                usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+                vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+                better = tmin < bt_
+                return (jnp.where(better, tmin, bt_),
+                        jnp.where(better, imin, bi_),
+                        jnp.where(better, usel, bu_),
+                        jnp.where(better, vsel, bv_))
+
+            c0, c1, c2, c3 = jax.lax.fori_loop(
+                0, BRICK // TSUB, chunk, (c0, c1, c2, c3))
+            best_ref[0:1, :] = c0
+            best_ref[1:2, :] = c1
+            best_ref[2:3, :] = c2
+            best_ref[3:4, :] = c3
+
+        nxt = jnp.where(box_hit & jnp.logical_not(is_leaf),
+                        2 * node + 1, skip_ref[node])
+        return (nxt, steps + 1,
+                leaves + jnp.where(box_hit & is_leaf, 1, 0))
+
+    _, steps, leaves = jax.lax.while_loop(
+        lambda c: (c[0] >= 0) & (c[1] < max_steps), body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    out_ref[0:4, :] = best_ref[0:4, :]
+    out_ref[4:5, :] = jnp.full((1, RT), 1.0) * steps.astype(jnp.float32)
+    out_ref[5:6, :] = jnp.full((1, RT), 1.0) * leaves.astype(jnp.float32)
+    out_ref[6:8, :] = jnp.zeros((2, RT))
+
+
+def _anyhit_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
+                   loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
+                   out_ref, occ_ref, tri_scr, sem):
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
+    occ_ref[0:1, :] = jnp.zeros((1, RT))
+
+    def body(carry):
+        node, steps = carry
+        lo0 = lox_ref[node]
+        lo1 = loy_ref[node]
+        lo2 = loz_ref[node]
+        hi0 = hix_ref[node]
+        hi1 = hiy_ref[node]
+        hi2 = hiz_ref[node]
+        n0x, f0x = _slab(ox, ix, lo0, hi0)
+        n0y, f0y = _slab(oy, iy, lo1, hi1)
+        n0z, f0z = _slab(oz, iz, lo2, hi2)
+        tnear = jnp.maximum(jnp.maximum(n0x, n0y), jnp.maximum(n0z, 0.0))
+        tfar = jnp.minimum(jnp.minimum(f0x, f0y), f0z)
+        occ = occ_ref[0:1, :]
+        live = (tfar >= tnear) & (tnear < tmax) & (occ < 0.5)
+        box_hit = jnp.max(jnp.where(live, 1.0, 0.0)) > 0.5
+        is_leaf = node >= first_leaf
+
+        @pl.when(box_hit & is_leaf)
+        def _():
+            brick = node - first_leaf
+            cp = pltpu.make_async_copy(
+                tris_ref.at[pl.ds(pl.multiple_of(brick * BRICK, BRICK),
+                                  BRICK), :], tri_scr, sem)
+            cp.start()
+            cp.wait()
+
+            def chunk(k, o):
+                t, u, v, ok = _mt_scr(tri_scr, k, ox, oy, oz, dx, dy, dz)
+                hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
+                              axis=0, keepdims=True)
+                return jnp.maximum(o, hit)
+
+            occ_ref[0:1, :] = jax.lax.fori_loop(
+                0, BRICK // TSUB, chunk, occ_ref[0:1, :])
+
+        nxt = jnp.where(box_hit & jnp.logical_not(is_leaf),
+                        2 * node + 1, skip_ref[node])
+        return (nxt, steps + 1)
+
+    jax.lax.while_loop(lambda c: (c[0] >= 0) & (c[1] < max_steps), body,
+                       (jnp.int32(0), jnp.int32(0)))
+    out_ref[0:1, :] = occ_ref[0:1, :]
+    out_ref[1:8, :] = jnp.zeros((7, RT))
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("first_leaf", "any_hit", "interpret"))
+def _run(skip, lox, loy, loz, hix, hiy, hiz, tri, rays, first_leaf,
+         any_hit, interpret):
+    Rp = rays.shape[1]
+    n_nodes = skip.shape[0]
+    # hard bound: a full DFS visits every node at most once per branch
+    # direction; 4x slack. Guarantees the device loop terminates even if a
+    # predicate miscompiles (a wedged chip takes the whole host down).
+    max_steps = 4 * n_nodes + 64
+    kern = _anyhit_kernel if any_hit else _closest_kernel
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(Rp // RT,),
+        in_specs=[
+            pl.BlockSpec((8, RT), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, RT), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, RT), jnp.float32),
+            pltpu.VMEM((BRICK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kern, first_leaf, max_steps),
+        out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(skip, lox, loy, loz, hix, hiy, hiz, rays, tri)
+
+
+def intersect_packet(ray, pbvh, any_hit=False, interpret=False):
+    """Trace a wavefront against a PacketBVH. Returns Hit (prim ids in the
+    ORIGINAL triangle numbering; any_hit encodes occlusion as prim_id>=0)."""
+    R = ray.origin.shape[0]
+    Rp = _round_up(max(R, 1), RT)
+    rays = jnp.zeros((8, Rp), jnp.float32)
+    rays = rays.at[0:3, :R].set(ray.origin.T)
+    rays = rays.at[3:6, :R].set(ray.direction.T)
+    rays = rays.at[6, :R].set(ray.t_max)
+
+    out = _run(pbvh.skip, pbvh.lo_x, pbvh.lo_y, pbvh.lo_z,
+               pbvh.hi_x, pbvh.hi_y, pbvh.hi_z, pbvh.tri, rays,
+               pbvh.first_leaf, any_hit, interpret)
+
+    if any_hit:
+        return Hit(t=ray.t_max, prim_id=jnp.where(out[0, :R] > 0.5, 0, -1),
+                   bary=jnp.zeros((R, 2)))
+    t = out[0, :R]
+    sid = out[1, :R].astype(jnp.int32)
+    miss = (sid < 0) | (t >= ray.t_max)
+    pid = jnp.where(miss, -1, pbvh.prim_order[jnp.maximum(sid, 0)])
+    uv = jnp.where(miss[:, None], 0.0, out[2:4, :R].T)
+    return Hit(t=jnp.where(miss, ray.t_max, t),
+               prim_id=pid, bary=uv)

@@ -38,6 +38,17 @@ def update(state, sample_rgb):
     return InspectorState(mean=mean, m2=m2, count=count)
 
 
+def update_where(state, sample_rgb, took):
+    """Welford update applied only where `took` is True (adaptive driver:
+    converged pixels receive no new chunk and keep their stats frozen)."""
+    x = luminance(sample_rgb) if sample_rgb.ndim > 1 else sample_rgb
+    count = jnp.where(took, state.count + 1.0, state.count)
+    delta = x - state.mean
+    mean = jnp.where(took, state.mean + safe_div(delta, count), state.mean)
+    m2 = jnp.where(took, state.m2 + delta * (x - mean), state.m2)
+    return InspectorState(mean=mean, m2=m2, count=count)
+
+
 def is_converged(state, threshold=0.05, min_samples=16.0):
     """Relative standard error below threshold (inspector.h variance test)."""
     var = safe_div(state.m2, jnp.maximum(state.count - 1.0, 1.0))

@@ -320,7 +320,7 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
 
 
 def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
-                rr_threshold=1.0):
+                rr_threshold=1.0, spp_budget=None):
     """Regeneration-wavefront renderer: one persistent ray pool (lane = pixel)
     where a finished path's lane is immediately refilled with that pixel's
     next sample, all inside a single on-device `lax.while_loop`.
@@ -331,7 +331,12 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
     with ray attrition. Iterations ~= total path segments / R instead of
     spp * max_depth.
 
-    Returns (mean radiance [H, W, 3], aovs dict incl. traced-ray count).
+    spp_budget: optional per-pixel [R] int32 sample budget <= spp (adaptive
+    sampling: converged pixels get 0 and cost nothing). `spp` stays the
+    static loop bound.
+
+    Returns (mean radiance [H, W, 3], aovs dict incl. traced-ray count,
+    per-pixel film sum and sample counts).
     """
     spectrum = scene.spectrum
     S = spectrum.dims
@@ -357,8 +362,12 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
         st, swl = spectrum.sample_wavelengths(st)
         return st, ray, swl, fw
 
+    budget = (jnp.full((R,), spp, jnp.int32) if spp_budget is None
+              else spp_budget.astype(jnp.int32))
+
     st0, ray0, swl0, fw0 = new_path(jnp.zeros((R,), jnp.uint32))
     c = _init_carry(scene, spectrum, ray0, st0, swl0)
+    c["act"] = c["act"] & (budget > 0)
     c.update(dep=jnp.zeros((R,), jnp.int32), fw=fw0,
              smp=jnp.zeros((R,), jnp.uint32),
              film=jnp.zeros((R, 3)),
@@ -389,7 +398,7 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
         smp = c["smp"] + done.astype(jnp.uint32)
 
         # regenerate lanes that still owe samples
-        regen = done & (smp < spp)
+        regen = done & (smp < budget.astype(jnp.uint32))
         st_n, ray_n, swl_n, fw_n = new_path(smp)
         m = regen[..., None]
         c.update(
@@ -411,10 +420,12 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
         return c
 
     out = jax.lax.while_loop(cond, body, c)
-    img = (out["film"] / jnp.float32(spp)).reshape(H, W, 3)
+    smp = out["smp"].astype(jnp.float32)
+    img = (out["film"] / jnp.maximum(smp, 1.0)[..., None]).reshape(H, W, 3)
     aovs = dict(albedo=out["alb"].reshape(H, W, 3),
                 normal=out["nrm"].reshape(H, W, 3),
-                nrays=out["nrays"], iters=out["it"])
+                nrays=out["nrays"], iters=out["it"],
+                film=out["film"], smp=out["smp"])
     return img, aovs
 
 
