@@ -1,0 +1,211 @@
+// Binned-SAH BVH builder (host-side, TPU-traversal oriented).
+//
+// Replaces the device-side OptiX BLAS build the reference delegates to
+// (`/root/reference/src/base/mgr/geometry.cpp:36-53`): here the hierarchy is
+// built once on host in C++ and shipped to the chip as flat arrays that a
+// per-lane XLA gather walk consumes (see vision_tpu/accel/sah.py).
+//
+// Output layout (DFS order, stackless skip-link traversal):
+//   nodes: lo[3] hi[3] (f32), first (i32: child id if inner, tri start if
+//   leaf), count (i32: 0 inner, else #tris), skip (i32 DFS miss link, -1 end)
+//   order: i32 triangle permutation (leaf ranges are contiguous in `order`)
+//
+// Standard binned SAH: 16 bins on the centroid extent's longest axis,
+// leaf <= max_leaf prims, full-sweep SAH cost with surface-area heuristic.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct AABB {
+  float lo[3] = {3e38f, 3e38f, 3e38f};
+  float hi[3] = {-3e38f, -3e38f, -3e38f};
+  void grow(const float* p) {
+    for (int i = 0; i < 3; ++i) {
+      lo[i] = std::min(lo[i], p[i]);
+      hi[i] = std::max(hi[i], p[i]);
+    }
+  }
+  void grow(const AABB& b) {
+    for (int i = 0; i < 3; ++i) {
+      lo[i] = std::min(lo[i], b.lo[i]);
+      hi[i] = std::max(hi[i], b.hi[i]);
+    }
+  }
+  float area() const {
+    float dx = std::max(hi[0] - lo[0], 0.f);
+    float dy = std::max(hi[1] - lo[1], 0.f);
+    float dz = std::max(hi[2] - lo[2], 0.f);
+    return 2.f * (dx * dy + dy * dz + dz * dx);
+  }
+};
+
+struct Node {
+  AABB box;
+  int32_t first = 0;  // child id (inner) or tri start (leaf)
+  int32_t count = 0;  // 0 = inner
+  int32_t skip = -1;
+};
+
+constexpr int kBins = 16;
+
+struct Builder {
+  const AABB* prim_box;
+  const float* cent;  // [n, 3]
+  std::vector<int32_t> idx;
+  std::vector<Node> nodes;
+  int max_leaf;
+
+  int32_t build(int32_t begin, int32_t end) {
+    int32_t me = (int32_t)nodes.size();
+    nodes.emplace_back();
+    AABB box, cbox;
+    for (int32_t i = begin; i < end; ++i) {
+      box.grow(prim_box[idx[i]]);
+      cbox.grow(&cent[3 * idx[i]]);
+    }
+    nodes[me].box = box;
+    int32_t n = end - begin;
+    if (n <= max_leaf) {
+      nodes[me].first = begin;
+      nodes[me].count = n;
+      return me;
+    }
+    // longest centroid axis
+    int axis = 0;
+    float ext[3];
+    for (int i = 0; i < 3; ++i) ext[i] = cbox.hi[i] - cbox.lo[i];
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+    if (ext[axis] <= 1e-12f) {  // degenerate: median split
+      int32_t mid = begin + n / 2;
+      nodes[me].first = -1;
+      int32_t l = build(begin, mid);
+      int32_t r = build(mid, end);
+      nodes[me].first = l;
+      (void)r;
+      return me;
+    }
+    float scale = kBins / ext[axis];
+    float base = cbox.lo[axis];
+    AABB bbox[kBins];
+    int32_t bcnt[kBins] = {0};
+    for (int32_t i = begin; i < end; ++i) {
+      int b = std::min(kBins - 1,
+                       (int)((cent[3 * idx[i] + axis] - base) * scale));
+      bcnt[b]++;
+      bbox[b].grow(prim_box[idx[i]]);
+    }
+    // sweep SAH
+    float rarea[kBins];
+    AABB acc;
+    int32_t rcount = 0;
+    for (int b = kBins - 1; b > 0; --b) {
+      acc.grow(bbox[b]);
+      rcount += bcnt[b];
+      rarea[b] = (rcount > 0) ? acc.area() * rcount : 0.f;
+    }
+    acc = AABB();
+    int32_t lcount = 0;
+    float best_cost = 3e38f;
+    int best_b = -1;
+    for (int b = 0; b < kBins - 1; ++b) {
+      acc.grow(bbox[b]);
+      lcount += bcnt[b];
+      if (lcount == 0 || lcount == n) continue;
+      float cost = acc.area() * lcount + rarea[b + 1];
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_b = b;
+      }
+    }
+    int32_t mid;
+    if (best_b < 0 || best_cost >= box.area() * n) {
+      if (n <= 2 * max_leaf || best_b < 0) {  // SAH says leaf but too big
+        mid = begin + n / 2;
+      } else {
+        mid = begin + n / 2;
+      }
+    } else {
+      auto it = std::partition(
+          idx.begin() + begin, idx.begin() + end, [&](int32_t p) {
+            int b = std::min(kBins - 1,
+                             (int)((cent[3 * p + axis] - base) * scale));
+            return b <= best_b;
+          });
+      mid = (int32_t)(it - idx.begin());
+      if (mid == begin || mid == end) mid = begin + n / 2;
+    }
+    int32_t l = build(begin, mid);
+    int32_t r = build(mid, end);
+    nodes[me].first = l;
+    (void)r;
+    return me;
+  }
+
+  // DFS skip links: node i's skip = next subtree in preorder after i's.
+  void link(int32_t node, int32_t skip) {
+    nodes[node].skip = skip;
+    if (nodes[node].count == 0) {
+      int32_t l = nodes[node].first;
+      // right child is the node emitted after l's whole subtree; recover it
+      // by walking: with preorder emission, r = subtree_end(l). We stored
+      // children contiguously in emission order, so find r via recursion.
+      int32_t r = subtree_end(l);
+      link(l, r);
+      link(r, skip);
+    }
+  }
+  int32_t subtree_end(int32_t node) {
+    if (nodes[node].count > 0) return node + 1;
+    return subtree_end(subtree_end(nodes[node].first));
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build. tris are given as p0/p1/p2 [n*3] f32 each. Returns node count.
+// Caller passes preallocated output arrays sized via vt_bvh_max_nodes(n).
+int64_t vt_build_bvh(const float* p0, const float* p1, const float* p2,
+                     int64_t n, int32_t max_leaf, float* out_lo,
+                     float* out_hi, int32_t* out_first, int32_t* out_count,
+                     int32_t* out_skip, int32_t* out_order) {
+  if (n <= 0) return 0;
+  std::vector<AABB> boxes(n);
+  std::vector<float> cent(3 * n);
+  for (int64_t i = 0; i < n; ++i) {
+    boxes[i].grow(&p0[3 * i]);
+    boxes[i].grow(&p1[3 * i]);
+    boxes[i].grow(&p2[3 * i]);
+    for (int c = 0; c < 3; ++c)
+      cent[3 * i + c] = (boxes[i].lo[c] + boxes[i].hi[c]) * 0.5f;
+  }
+  Builder b;
+  b.prim_box = boxes.data();
+  b.cent = cent.data();
+  b.max_leaf = std::max(1, (int)max_leaf);
+  b.idx.resize(n);
+  for (int64_t i = 0; i < n; ++i) b.idx[i] = (int32_t)i;
+  b.nodes.reserve(2 * n);
+  b.build(0, (int32_t)n);
+  b.link(0, -1);
+
+  int64_t nn = (int64_t)b.nodes.size();
+  for (int64_t i = 0; i < nn; ++i) {
+    std::memcpy(&out_lo[3 * i], b.nodes[i].box.lo, 12);
+    std::memcpy(&out_hi[3 * i], b.nodes[i].box.hi, 12);
+    out_first[i] = b.nodes[i].first;
+    out_count[i] = b.nodes[i].count;
+    out_skip[i] = b.nodes[i].skip;
+  }
+  std::memcpy(out_order, b.idx.data(), n * 4);
+  return nn;
+}
+
+}  // extern "C"

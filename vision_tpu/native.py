@@ -87,3 +87,42 @@ def morton_sort_native(centroids):
     lib.vt_morton_sort(c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                        n, order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return order.astype(np.int64)
+
+
+def build_bvh_native(p0, p1, p2, max_leaf=4):
+    """Binned-SAH BVH build (native/bvh_builder.cpp). Returns a dict of flat
+    arrays (lo/hi [N,3] f32, first/count/skip [N] i32, order [T] i32) or None
+    if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_bvh_bound"):
+        F = ctypes.POINTER(ctypes.c_float)
+        I = ctypes.POINTER(ctypes.c_int32)
+        lib.vt_build_bvh.argtypes = [F, F, F, ctypes.c_int64,
+                                     ctypes.c_int32, F, F, I, I, I, I]
+        lib.vt_build_bvh.restype = ctypes.c_int64
+        lib._bvh_bound = True
+    a0 = np.ascontiguousarray(p0, np.float32)
+    a1 = np.ascontiguousarray(p1, np.float32)
+    a2 = np.ascontiguousarray(p2, np.float32)
+    n = len(a0)
+    cap = max(2 * n, 2)
+    lo = np.empty((cap, 3), np.float32)
+    hi = np.empty((cap, 3), np.float32)
+    first = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    skip = np.empty(cap, np.int32)
+    order = np.empty(max(n, 1), np.int32)
+    F = ctypes.POINTER(ctypes.c_float)
+    I = ctypes.POINTER(ctypes.c_int32)
+    nn = lib.vt_build_bvh(
+        a0.ctypes.data_as(F), a1.ctypes.data_as(F), a2.ctypes.data_as(F),
+        n, max_leaf, lo.ctypes.data_as(F), hi.ctypes.data_as(F),
+        first.ctypes.data_as(I), count.ctypes.data_as(I),
+        skip.ctypes.data_as(I), order.ctypes.data_as(I))
+    if nn <= 0:
+        return None
+    return dict(lo=lo[:nn].copy(), hi=hi[:nn].copy(),
+                first=first[:nn].copy(), count=count[:nn].copy(),
+                skip=skip[:nn].copy(), order=order[:n].copy())
