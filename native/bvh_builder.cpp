@@ -58,38 +58,19 @@ struct Builder {
   const float* cent;  // [n, 3]
   std::vector<int32_t> idx;
   std::vector<Node> nodes;
+  std::vector<int32_t> sub_end;  // [node] preorder index just past subtree
   int max_leaf;
 
-  int32_t build(int32_t begin, int32_t end) {
-    int32_t me = (int32_t)nodes.size();
-    nodes.emplace_back();
-    AABB box, cbox;
-    for (int32_t i = begin; i < end; ++i) {
-      box.grow(prim_box[idx[i]]);
-      cbox.grow(&cent[3 * idx[i]]);
-    }
-    nodes[me].box = box;
+  // Choose the split point for [begin, end). Returns mid.
+  int32_t split(int32_t begin, int32_t end, const AABB& box,
+                const AABB& cbox) {
     int32_t n = end - begin;
-    if (n <= max_leaf) {
-      nodes[me].first = begin;
-      nodes[me].count = n;
-      return me;
-    }
-    // longest centroid axis
     int axis = 0;
     float ext[3];
     for (int i = 0; i < 3; ++i) ext[i] = cbox.hi[i] - cbox.lo[i];
     if (ext[1] > ext[axis]) axis = 1;
     if (ext[2] > ext[axis]) axis = 2;
-    if (ext[axis] <= 1e-12f) {  // degenerate: median split
-      int32_t mid = begin + n / 2;
-      nodes[me].first = -1;
-      int32_t l = build(begin, mid);
-      int32_t r = build(mid, end);
-      nodes[me].first = l;
-      (void)r;
-      return me;
-    }
+    if (ext[axis] <= 1e-12f) return begin + n / 2;  // degenerate: median
     float scale = kBins / ext[axis];
     float base = cbox.lo[axis];
     AABB bbox[kBins];
@@ -123,46 +104,82 @@ struct Builder {
         best_b = b;
       }
     }
-    int32_t mid;
     if (best_b < 0 || best_cost >= box.area() * n) {
-      if (n <= 2 * max_leaf || best_b < 0) {  // SAH says leaf but too big
-        mid = begin + n / 2;
-      } else {
-        mid = begin + n / 2;
-      }
-    } else {
-      auto it = std::partition(
-          idx.begin() + begin, idx.begin() + end, [&](int32_t p) {
-            int b = std::min(kBins - 1,
-                             (int)((cent[3 * p + axis] - base) * scale));
-            return b <= best_b;
-          });
-      mid = (int32_t)(it - idx.begin());
-      if (mid == begin || mid == end) mid = begin + n / 2;
+      // SAH prefers a leaf, but the fixed max_leaf-slot leaf layout forbids
+      // oversized leaves: fall back to a median split.
+      return begin + n / 2;
     }
-    int32_t l = build(begin, mid);
-    int32_t r = build(mid, end);
-    nodes[me].first = l;
-    (void)r;
-    return me;
+    auto it = std::partition(
+        idx.begin() + begin, idx.begin() + end, [&](int32_t p) {
+          int b = std::min(kBins - 1,
+                           (int)((cent[3 * p + axis] - base) * scale));
+          return b <= best_b;
+        });
+    int32_t mid = (int32_t)(it - idx.begin());
+    if (mid == begin || mid == end) mid = begin + n / 2;
+    return mid;
+  }
+
+  // Preorder build with an explicit frame stack (recursion would be O(n)
+  // deep for adversarial splits and overflow the host stack).
+  void build() {
+    struct Frame {
+      int32_t begin, end, me, mid;
+      int stage;  // 0 = create node, 1 = left done, 2 = right done
+    };
+    std::vector<Frame> st;
+    st.push_back({0, (int32_t)idx.size(), -1, 0, 0});
+    while (!st.empty()) {
+      Frame& f = st.back();
+      if (f.stage == 0) {
+        f.me = (int32_t)nodes.size();
+        nodes.emplace_back();
+        sub_end.push_back(-1);
+        AABB box, cbox;
+        for (int32_t i = f.begin; i < f.end; ++i) {
+          box.grow(prim_box[idx[i]]);
+          cbox.grow(&cent[3 * idx[i]]);
+        }
+        nodes[f.me].box = box;
+        int32_t n = f.end - f.begin;
+        if (n <= max_leaf) {
+          nodes[f.me].first = f.begin;
+          nodes[f.me].count = n;
+          sub_end[f.me] = f.me + 1;
+          st.pop_back();
+          continue;
+        }
+        // preorder: left child is emitted immediately after this node
+        nodes[f.me].first = f.me + 1;
+        f.mid = split(f.begin, f.end, box, cbox);
+        f.stage = 1;
+        st.push_back({f.begin, f.mid, -1, 0, 0});
+      } else if (f.stage == 1) {
+        f.stage = 2;
+        st.push_back({f.mid, f.end, -1, 0, 0});
+      } else {
+        sub_end[f.me] = (int32_t)nodes.size();
+        st.pop_back();
+      }
+    }
   }
 
   // DFS skip links: node i's skip = next subtree in preorder after i's.
-  void link(int32_t node, int32_t skip) {
-    nodes[node].skip = skip;
-    if (nodes[node].count == 0) {
-      int32_t l = nodes[node].first;
-      // right child is the node emitted after l's whole subtree; recover it
-      // by walking: with preorder emission, r = subtree_end(l). We stored
-      // children contiguously in emission order, so find r via recursion.
-      int32_t r = subtree_end(l);
-      link(l, r);
-      link(r, skip);
+  // Iterative (same stack-depth rationale as build()).
+  void link() {
+    std::vector<std::pair<int32_t, int32_t>> st;  // (node, skip)
+    st.emplace_back(0, -1);
+    while (!st.empty()) {
+      auto [node, skip] = st.back();
+      st.pop_back();
+      nodes[node].skip = skip;
+      if (nodes[node].count == 0) {
+        int32_t l = nodes[node].first;
+        int32_t r = sub_end[l];  // right child follows left's subtree
+        st.emplace_back(r, skip);
+        st.emplace_back(l, r);
+      }
     }
-  }
-  int32_t subtree_end(int32_t node) {
-    if (nodes[node].count > 0) return node + 1;
-    return subtree_end(subtree_end(nodes[node].first));
   }
 };
 
@@ -171,7 +188,8 @@ struct Builder {
 extern "C" {
 
 // Build. tris are given as p0/p1/p2 [n*3] f32 each. Returns node count.
-// Caller passes preallocated output arrays sized via vt_bvh_max_nodes(n).
+// Caller passes preallocated output arrays sized for 2n nodes (a binary
+// tree over n prims has < 2n nodes; see build_bvh_native's `cap`).
 int64_t vt_build_bvh(const float* p0, const float* p1, const float* p2,
                      int64_t n, int32_t max_leaf, float* out_lo,
                      float* out_hi, int32_t* out_first, int32_t* out_count,
@@ -193,8 +211,8 @@ int64_t vt_build_bvh(const float* p0, const float* p1, const float* p2,
   b.idx.resize(n);
   for (int64_t i = 0; i < n; ++i) b.idx[i] = (int32_t)i;
   b.nodes.reserve(2 * n);
-  b.build(0, (int32_t)n);
-  b.link(0, -1);
+  b.build();
+  b.link();
 
   int64_t nn = (int64_t)b.nodes.size();
   for (int64_t i = 0; i < nn; ++i) {
