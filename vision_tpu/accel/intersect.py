@@ -58,7 +58,9 @@ def _mt_batch(o, d, p0, e1, e2):
     qvz = tvx * e1y - tvy * e1x
     v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-    ok = (jnp.abs(det) > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    # 1e-6 barycentric slack closes shared-edge cracks (packet_bvh._mt_scr)
+    ok = ((jnp.abs(det) > _EPS) & (u >= -1e-6) & (v >= -1e-6)
+          & (u + v <= 1.0 + 1e-6) & (t > 0.0))
     return t, u, v, ok
 
 

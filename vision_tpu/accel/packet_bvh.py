@@ -1,30 +1,36 @@
 """Packet-BVH: Pallas TPU traversal for large scenes.
 
 TPU-native replacement for OptiX BLAS traversal on big meshes
-(`/root/reference/src/base/mgr/geometry.cpp:168-185`), replacing the XLA
-gather while_loop (accel/intersect.py intersect_bvh) which pays a full
-[R]-wide gather per lock-step node visit and is unusable above ~10k tris.
+(`/root/reference/src/base/mgr/geometry.cpp:168-185`). Why this shape —
+measured facts on v5e that rule the design:
 
-Design — mapped to the hardware rather than to the CUDA model:
+  * dynamic gathers at wavefront scale are SERIAL: a [262k]-lane gather
+    from an HBM table inside a device loop costs ~2 ms regardless of row
+    width (~130M random elements/s). Any per-lane pointer-chasing
+    traversal is therefore capped at ~0.1 Mrays/s — dead on arrival.
+    ALL data movement here is dense.
+  * rays are processed in BLOCKS of RT lanes (one grid program per
+    block); a block shares ONE traversal: a scalar skip-link walk over
+    the tree in scalar registers + SMEM (node AABBs and links are
+    scalar-prefetch arrays). A traversal step costs ~tens of scalar
+    cycles plus one fused (1, RT) slab test on the VPU — no gathers.
+  * a leaf (brick of <= BRICK triangles) is visited only if ANY ray in
+    the block hits its AABB closer than its current best t; its
+    triangles are then DMA'd HBM->VMEM and swept densely through
+    Möller-Trumbore in (TSUB, RT) chunks — full VPU lanes, zero
+    irregular access.
+  * tree quality decides everything: with Morton-chunk bricks under a
+    balanced heap, leaf AABBs overlap so badly that a block visited
+    ~4100 of 8192 bricks even for a coherent 32x32 pixel tile
+    (measured). The tree is therefore the native binned-SAH build
+    (native/bvh_builder.cpp) with leaves <= BRICK tris, laid out in DFS
+    preorder: hit an inner node -> descend to node+1; miss -> skip[node].
+  * the renderer maps lanes to Morton/tile pixel order so blocks are
+    ~32x32 pixel tiles (coherent frusta), see pt.render_wave.
 
-  * rays are processed in BLOCKS of RT=1024 (one grid program per block);
-    a block shares ONE traversal: a scalar skip-link walk over a coarse
-    BVH whose leaves are BRICKs of 64 Morton-contiguous triangles.
-    The walk lives entirely in scalar registers + SMEM (node AABBs and
-    skip links are scalar-prefetch arrays), so a traversal step costs
-    ~tens of scalar cycles plus one fused (1, RT) slab test on the VPU —
-    no gathers anywhere.
-  * a brick is visited only if ANY ray in the block hits its AABB closer
-    than its current best t; its 64 triangles are then DMA'd HBM->VMEM
-    (16 KB) and swept densely through Möller-Trumbore in (8, RT) chunks —
-    exactly the layout of the dense kernel (pallas_isect.py), full VPU
-    lanes, zero irregular access.
-  * per-block divergence is bounded by ray coherence; the renderer maps
-    lanes to Morton pixel order so blocks are ~32x32 pixel tiles.
-
-The two-level structure (coarse tree + dense brick sweeps) is the TPU
-analog of BLAS traversal: the hierarchy culls in scalar space, the VPU
-only ever sees dense rectangles of work.
+The two-level structure (scalar SAH walk + dense brick sweeps) is the
+TPU analog of RT-core traversal: the hierarchy culls in scalar space,
+the VPU only ever sees dense rectangles of work.
 """
 from __future__ import annotations
 
@@ -38,18 +44,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import Hit
-from .bvh import _morton3
 
 _EPS = 1e-9
+_EDGE_EPS = 1e-6
 _BIG = 3e38
 RT = 1024       # rays per block (lanes)
-BRICK = 64      # triangles per leaf brick
+BRICK = 64      # max triangles per leaf brick
 TSUB = 8        # triangles per MT chunk (sublanes)
 
 
 @struct.dataclass
 class PacketBVH:
     skip: jnp.ndarray        # [n_nodes] i32 DFS miss link (-1 done)
+    brick: jnp.ndarray       # [n_nodes] i32 brick id if leaf else -1
     lo_x: jnp.ndarray        # [n_nodes] f32 node AABB (6 component arrays)
     lo_y: jnp.ndarray
     lo_z: jnp.ndarray
@@ -60,82 +67,56 @@ class PacketBVH:
                              # lane-padded to 128 so per-brick DMA slices are
                              # tile-aligned — Mosaic requires 128-lane slices)
     prim_order: jnp.ndarray  # [n_bricks*BRICK] i32 original tri id (-1 pad)
-    first_leaf: int = struct.field(pytree_node=False)
     n_nodes: int = struct.field(pytree_node=False)
 
 
 def build_packet_bvh(p0, p1, p2, brick=BRICK):
-    """Host build: Morton-sort triangles, chunk into bricks, implicit
-    perfectly-balanced heap over brick AABBs with DFS skip links.
-    p0/p1/p2: [T, 3] float32 triangle vertices."""
+    """Host build via the native binned-SAH builder: DFS-preorder tree with
+    skip links, leaves <= `brick` tris padded to fixed `brick` slots.
+    Returns PacketBVH, or None when the native library is unavailable
+    (callers fall back to the XLA skip-link walk)."""
+    from .. import native
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
     n = len(p0)
+    r = native.build_bvh_native(p0, p1, p2, max_leaf=brick)
+    if r is None:
+        return None
+    first = r["first"].astype(np.int64)
+    count = r["count"].astype(np.int64)
+    order = r["order"].astype(np.int64)
+    n_nodes = len(first)
 
-    cent = (p0 + p1 + p2) / 3.0
-    lo = cent.min(0)
-    hi = cent.max(0)
-    ext = np.maximum(hi - lo, 1e-12)
-    q = np.clip(((cent - lo) / ext) * 1023.0, 0, 1023).astype(np.uint32)
-    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
-    order = np.argsort(codes, kind="stable").astype(np.int64)
+    leaves = np.nonzero(count > 0)[0]
+    n_bricks = max(1, len(leaves))
+    brick_of_node = np.full(n_nodes, -1, np.int64)
+    brick_of_node[leaves] = np.arange(len(leaves))
 
-    n_bricks = max(1, -(-n // brick))
-    depth = max(0, int(np.ceil(np.log2(n_bricks))))
-    n_bricks_p = 1 << depth
-    n_prims_p = n_bricks_p * brick
-
-    prim_order = np.full(n_prims_p, -1, np.int64)
-    prim_order[:n] = order
-
-    big = np.float32(_BIG)
-    pmin = np.full((n_prims_p, 3), big, np.float32)
-    pmax = np.full((n_prims_p, 3), -big, np.float32)
-    sp0, sp1, sp2 = p0[order], p1[order], p2[order]
-    pmin[:n] = np.minimum(np.minimum(sp0, sp1), sp2)
-    pmax[:n] = np.maximum(np.maximum(sp0, sp1), sp2)
-
-    bmin = pmin.reshape(n_bricks_p, brick, 3).min(1)
-    bmax = pmax.reshape(n_bricks_p, brick, 3).max(1)
-
-    n_nodes = 2 * n_bricks_p - 1
-    node_min = np.full((n_nodes, 3), big, np.float32)
-    node_max = np.full((n_nodes, 3), -big, np.float32)
-    first_leaf = n_bricks_p - 1
-    node_min[first_leaf:] = bmin
-    node_max[first_leaf:] = bmax
-    cur_min, cur_max = bmin, bmax
-    for d in range(depth - 1, -1, -1):
-        cur_min = np.minimum(cur_min[0::2], cur_min[1::2])
-        cur_max = np.maximum(cur_max[0::2], cur_max[1::2])
-        off = (1 << d) - 1
-        node_min[off:off + (1 << d)] = cur_min
-        node_max[off:off + (1 << d)] = cur_max
-
-    skip = np.full(n_nodes, -1, np.int64)
-    for d in range(0, depth):
-        off = (1 << d) - 1
-        nodes = np.arange(off, off + (1 << d))
-        skip[nodes * 2 + 1] = nodes * 2 + 2
-        skip[nodes * 2 + 2] = skip[nodes]
-
-    # brick triangle table in traversal order (padding rows = degenerate)
-    tri = np.zeros((n_prims_p, 128), np.float32)
-    valid = prim_order >= 0
-    tri[valid, 0:3] = sp0[:n]
-    tri[valid, 3:6] = sp1[:n] - sp0[:n]
-    tri[valid, 6:9] = sp2[:n] - sp0[:n]
+    # brick triangle table: brick b slot k <- sorted tri first[leaf]+k
+    tri = np.zeros((n_bricks * brick, 128), np.float32)
+    prim_order = np.full(n_bricks * brick, -1, np.int64)
+    if len(leaves):
+        f = first[leaves][:, None]                      # [L, 1]
+        c = count[leaves][:, None]
+        ks = np.arange(brick)[None, :]                  # [1, K]
+        valid = (ks < c).ravel()                        # [L*K]
+        src = np.clip(f + ks, 0, max(n - 1, 0)).ravel()
+        sp0, sp1, sp2 = p0[order], p1[order], p2[order]
+        tri[valid, 0:3] = sp0[src[valid]]
+        tri[valid, 3:6] = sp1[src[valid]] - sp0[src[valid]]
+        tri[valid, 6:9] = sp2[src[valid]] - sp0[src[valid]]
+        prim_order[valid] = order[src[valid]]
 
     return PacketBVH(
-        skip=jnp.asarray(skip, jnp.int32),
-        lo_x=jnp.asarray(node_min[:, 0]), lo_y=jnp.asarray(node_min[:, 1]),
-        lo_z=jnp.asarray(node_min[:, 2]),
-        hi_x=jnp.asarray(node_max[:, 0]), hi_y=jnp.asarray(node_max[:, 1]),
-        hi_z=jnp.asarray(node_max[:, 2]),
+        skip=jnp.asarray(r["skip"], jnp.int32),
+        brick=jnp.asarray(brick_of_node, jnp.int32),
+        lo_x=jnp.asarray(r["lo"][:, 0]), lo_y=jnp.asarray(r["lo"][:, 1]),
+        lo_z=jnp.asarray(r["lo"][:, 2]),
+        hi_x=jnp.asarray(r["hi"][:, 0]), hi_y=jnp.asarray(r["hi"][:, 1]),
+        hi_z=jnp.asarray(r["hi"][:, 2]),
         tri=jnp.asarray(tri),
         prim_order=jnp.asarray(prim_order, jnp.int32),
-        first_leaf=int(first_leaf),
         n_nodes=int(n_nodes),
     )
 
@@ -190,12 +171,16 @@ def _mt_scr(tri_ref, k, ox, oy, oz, dx, dy, dz):
     qvz = tvx * e1y - tvy * e1x
     v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-    ok = ((jnp.abs(det) > _EPS) & (u >= 0.0) & (v >= 0.0)
-          & (u + v <= 1.0) & (t > 0.0))
+    # barycentric edge tolerance: rays hitting exactly on a shared edge
+    # round to v ~ -1e-17 in one triangle and miss both (observed); a 1e-6
+    # slack (sub-micro-texel) closes the crack. Shared-edge double hits are
+    # resolved by the min-t/min-id reduction.
+    ok = ((jnp.abs(det) > _EPS) & (u >= -_EDGE_EPS) & (v >= -_EDGE_EPS)
+          & (u + v <= 1.0 + _EDGE_EPS) & (t > 0.0))
     return t, u, v, ok
 
 
-def _closest_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
+def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
                     loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
                     out_ref, best_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -219,11 +204,11 @@ def _closest_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
         bt = best_ref[0:1, :]
         box_hit = jnp.max(jnp.where((tfar >= tnear) & (tnear < bt),
                                     1.0, 0.0)) > 0.5
-        is_leaf = node >= first_leaf
+        brick = brick_ref[node]
+        is_leaf = brick >= 0
 
         @pl.when(box_hit & is_leaf)
         def _():
-            brick = node - first_leaf
             cp = pltpu.make_async_copy(
                 tris_ref.at[pl.ds(pl.multiple_of(brick * BRICK, BRICK),
                                   BRICK), :], tri_scr, sem)
@@ -260,7 +245,7 @@ def _closest_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
             best_ref[3:4, :] = c3
 
         nxt = jnp.where(box_hit & jnp.logical_not(is_leaf),
-                        2 * node + 1, skip_ref[node])
+                        node + 1, skip_ref[node])
         return (nxt, steps + 1,
                 leaves + jnp.where(box_hit & is_leaf, 1, 0))
 
@@ -273,7 +258,7 @@ def _closest_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
     out_ref[6:8, :] = jnp.zeros((2, RT))
 
 
-def _anyhit_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
+def _anyhit_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
                    loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
                    out_ref, occ_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -295,11 +280,11 @@ def _anyhit_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
         occ = occ_ref[0:1, :]
         live = (tfar >= tnear) & (tnear < tmax) & (occ < 0.5)
         box_hit = jnp.max(jnp.where(live, 1.0, 0.0)) > 0.5
-        is_leaf = node >= first_leaf
+        brick = brick_ref[node]
+        is_leaf = brick >= 0
 
         @pl.when(box_hit & is_leaf)
         def _():
-            brick = node - first_leaf
             cp = pltpu.make_async_copy(
                 tris_ref.at[pl.ds(pl.multiple_of(brick * BRICK, BRICK),
                                   BRICK), :], tri_scr, sem)
@@ -315,8 +300,11 @@ def _anyhit_kernel(first_leaf, max_steps, skip_ref, lox_ref, loy_ref,
             occ_ref[0:1, :] = jax.lax.fori_loop(
                 0, BRICK // TSUB, chunk, occ_ref[0:1, :])
 
-        nxt = jnp.where(box_hit & jnp.logical_not(is_leaf),
-                        2 * node + 1, skip_ref[node])
+        # early out once every lane is occluded
+        all_occ = jnp.min(occ_ref[0:1, :]) > 0.5
+        nxt = jnp.where(all_occ, -1,
+                        jnp.where(box_hit & jnp.logical_not(is_leaf),
+                                  node + 1, skip_ref[node]))
         return (nxt, steps + 1)
 
     jax.lax.while_loop(lambda c: (c[0] >= 0) & (c[1] < max_steps), body,
@@ -329,9 +317,8 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("first_leaf", "any_hit", "interpret"))
-def _run(skip, lox, loy, loz, hix, hiy, hiz, tri, rays, first_leaf,
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
          any_hit, interpret):
     Rp = rays.shape[1]
     n_nodes = skip.shape[0]
@@ -341,7 +328,7 @@ def _run(skip, lox, loy, loz, hix, hiy, hiz, tri, rays, first_leaf,
     max_steps = 4 * n_nodes + 64
     kern = _anyhit_kernel if any_hit else _closest_kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(Rp // RT,),
         in_specs=[
             pl.BlockSpec((8, RT), lambda i, *_: (0, i),
@@ -357,16 +344,22 @@ def _run(skip, lox, loy, loz, hix, hiy, hiz, tri, rays, first_leaf,
         ],
     )
     return pl.pallas_call(
-        functools.partial(kern, first_leaf, max_steps),
+        functools.partial(kern, max_steps),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(skip, lox, loy, loz, hix, hiy, hiz, rays, tri)
+    )(skip, brick, lox, loy, loz, hix, hiy, hiz, rays, tri)
 
 
 def intersect_packet(ray, pbvh, any_hit=False, interpret=False):
     """Trace a wavefront against a PacketBVH. Returns Hit (prim ids in the
-    ORIGINAL triangle numbering; any_hit encodes occlusion as prim_id>=0)."""
+    ORIGINAL triangle numbering; any_hit encodes occlusion as prim_id>=0).
+
+    All kernel inputs are stop_gradient'ed: hits are piecewise-constant
+    w.r.t. scene/ray params (visibility gradients are out of scope, as in
+    the reference's differentiable surface), and with symbolically-zero
+    tangents JAX never needs an AD rule for the pallas_call."""
+    sg = jax.lax.stop_gradient
     R = ray.origin.shape[0]
     Rp = _round_up(max(R, 1), RT)
     rays = jnp.zeros((8, Rp), jnp.float32)
@@ -374,9 +367,9 @@ def intersect_packet(ray, pbvh, any_hit=False, interpret=False):
     rays = rays.at[3:6, :R].set(ray.direction.T)
     rays = rays.at[6, :R].set(ray.t_max)
 
-    out = _run(pbvh.skip, pbvh.lo_x, pbvh.lo_y, pbvh.lo_z,
-               pbvh.hi_x, pbvh.hi_y, pbvh.hi_z, pbvh.tri, rays,
-               pbvh.first_leaf, any_hit, interpret)
+    out = _run(sg(pbvh.skip), sg(pbvh.brick), sg(pbvh.lo_x), sg(pbvh.lo_y),
+               sg(pbvh.lo_z), sg(pbvh.hi_x), sg(pbvh.hi_y), sg(pbvh.hi_z),
+               sg(pbvh.tri), sg(rays), any_hit, interpret)
 
     if any_hit:
         return Hit(t=ray.t_max, prim_id=jnp.where(out[0, :R] > 0.5, 0, -1),

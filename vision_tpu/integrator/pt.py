@@ -17,6 +17,7 @@ unweighted.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +33,27 @@ from ..shading.materials import gather_params
 from ..lights import lights as lt
 
 RAY_OFFSET = 2e-4
+TILE = 32          # lane-order tile edge: TILE*TILE == packet_bvh.RT
+
+
+def _tile_order(W, H, tile=TILE):
+    """lane -> pixel permutation grouping pixels into tile x tile squares
+    (row-major within a tile, tiles row-major). Host-side, cached."""
+    key = (W, H, tile)
+    hit = _tile_order._cache.get(key)
+    if hit is not None:
+        return hit
+    pix = np.arange(W * H, dtype=np.int64)
+    x = pix % W
+    y = pix // W
+    k = (((y // tile) * ((W + tile - 1) // tile) + x // tile)
+         * (tile * tile) + (y % tile) * tile + (x % tile))
+    order = np.argsort(k, kind="stable").astype(np.uint32)
+    _tile_order._cache[key] = order
+    return order
+
+
+_tile_order._cache = {}
 
 
 def _use_pallas_isect():
@@ -49,7 +71,33 @@ def _use_pallas_isect():
         return False
 
 
+def _packet_mode(scene):
+    """Packet-BVH routing (geometry.cpp:168-185 trace paths): the Pallas
+    dense-brick traversal is the product path on TPU for every scene with a
+    BVH; on CPU it runs only when forced (VT_PACKET=1, interpret mode, for
+    tests) since interpreted Pallas is slow. Returns None | 'tpu' |
+    'interpret'."""
+    import os
+    if getattr(scene, "pbvh", None) is None:
+        return None
+    env = os.environ.get("VT_PACKET", "")
+    if env == "0":
+        return None
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        return "tpu"
+    return "interpret" if env == "1" else None
+
+
 def trace_closest(scene, ray):
+    mode = _packet_mode(scene)
+    if mode is not None:
+        from ..accel.packet_bvh import intersect_packet
+        return intersect_packet(ray, scene.pbvh,
+                                interpret=(mode == "interpret"))
     if scene.bvh is not None:
         return isect.intersect_bvh(ray, scene.bvh)
     if _use_pallas_isect():
@@ -59,6 +107,12 @@ def trace_closest(scene, ray):
 
 
 def trace_occluded(scene, ray):
+    mode = _packet_mode(scene)
+    if mode is not None:
+        from ..accel.packet_bvh import intersect_packet
+        hit = intersect_packet(ray, scene.pbvh, any_hit=True,
+                               interpret=(mode == "interpret"))
+        return hit.prim_id >= 0
     if scene.bvh is not None:
         hit = isect.intersect_bvh(ray, scene.bvh, any_hit=True)
         return hit.prim_id >= 0
@@ -345,7 +399,17 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
     has_media = getattr(scene, "has_media", False)
     W, H = camera.resolution
     R = W * H
-    pix = jnp.arange(R, dtype=jnp.uint32)
+    # Packet traversal shares one walk per block of RT consecutive lanes:
+    # map lanes to 32x32 pixel tiles so blocks have coherent frusta
+    # (measured 6.4 vs 5.1 Mrays/s primaries and 21 vs 51 bricks/block on
+    # staircase). lane i owns pixel pix[i]; outputs un-permute at the end.
+    lane_perm = (_packet_mode(scene) is not None)
+    if lane_perm:
+        pix_np = _tile_order(W, H)
+        pix = jnp.asarray(pix_np)
+        inv = jnp.asarray(np.argsort(pix_np).astype(np.uint32))
+    else:
+        pix = jnp.arange(R, dtype=jnp.uint32)
     px = (pix % W).astype(jnp.float32)
     py = (pix // W).astype(jnp.float32)
     cam_med = jnp.full((R,), getattr(scene, "camera_medium", -1), jnp.int32)
@@ -364,6 +428,8 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
 
     budget = (jnp.full((R,), spp, jnp.int32) if spp_budget is None
               else spp_budget.astype(jnp.int32))
+    if lane_perm and spp_budget is not None:
+        budget = budget[pix]  # pixel-order budget -> lane order
 
     st0, ray0, swl0, fw0 = new_path(jnp.zeros((R,), jnp.uint32))
     c = _init_carry(scene, spectrum, ray0, st0, swl0)
@@ -420,6 +486,10 @@ def render_wave(scene, camera, filt, frame0, spp, max_depth=16, min_depth=0,
         return c
 
     out = jax.lax.while_loop(cond, body, c)
+    if lane_perm:
+        # lane-indexed buffers -> pixel order (one gather, outside the loop)
+        for k in ("film", "smp", "alb", "nrm"):
+            out[k] = out[k][inv]
     smp = out["smp"].astype(jnp.float32)
     img = (out["film"] / jnp.maximum(smp, 1.0)[..., None]).reshape(H, W, 3)
     aovs = dict(albedo=out["alb"].reshape(H, W, 3),

@@ -52,7 +52,8 @@ class SceneData:
     camera_medium: int = struct.field(pytree_node=False)
     lights: object         # LightTable
     atlas: object          # TextureAtlas
-    bvh: object            # BVH or None
+    bvh: object            # BVH or None (XLA skip-link walk; CPU fallback)
+    pbvh: object           # PacketBVH or None (Pallas packet; TPU product)
     spectrum: object       # SpectrumModel
     world_radius: jnp.ndarray
     # render_setting.ray_offset_factor (node_desc.cpp:375); spawn offsets are
@@ -411,7 +412,14 @@ class Scene:
         n_tris = len(t["p0"])
         self.use_bvh = n_tris > BRUTE_FORCE_MAX_TRIS
         bvh = None
+        pbvh = None
         if self.use_bvh:
+            # product path: SAH packet BVH (Pallas dense-brick traversal,
+            # accel/packet_bvh.py). The XLA skip-link walk stays as the
+            # CPU/test fallback and for hosts without the native builder.
+            from ..accel.packet_bvh import build_packet_bvh
+            pbvh = build_packet_bvh(t["p0"], t["p0"] + t["e1"],
+                                    t["p0"] + t["e2"])
             tris = np.arange(n_tris * 3, dtype=np.int64).reshape(n_tris, 3)
             verts = np.stack([t["p0"], t["p0"] + t["e1"], t["p0"] + t["e2"]],
                              axis=1).reshape(-1, 3)
@@ -464,6 +472,7 @@ class Scene:
             lights=self.light_table,
             atlas=self.atlas,
             bvh=bvh,
+            pbvh=pbvh,
             spectrum=self.spectrum,
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
             ray_offset=jnp.asarray(self.ray_offset_factor, jnp.float32),
