@@ -39,3 +39,25 @@ class TestSceneSweep:
             assert sc.data.tri_p0.shape[0] == EXPECTED_LOADED[key], key
         assert sc.resolution[0] > 0
         assert sc.data.materials.kd.shape[0] >= 1
+
+
+def test_missing_env_substitutes_constant_sky():
+    """A scene whose only light is a missing-asset HDRI must get a unit
+    gray environment instead of rendering black (classroom: the env map
+    was never checked into the reference repo)."""
+    s = {
+        "shapes": [{"type": "quad", "param": {"width": 2, "height": 2}}],
+        "light_sampler": {"type": "uniform", "param": {"lights": [
+            {"type": "spherical", "param": {
+                "color": {"fn": "does_not_exist.exr",
+                          "color_space": "linear"},
+                "scale": 300}}]}},
+        "camera": {"type": "pinhole", "param": {
+            "radiance_collector": {"param": {"resolution": [8, 8]}}}},
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sc = Scene(s)
+    lt = sc.data.lights
+    assert lt.n_lights == 1
+    assert int(lt.env_index) == 0

@@ -157,6 +157,25 @@ class Scene:
                 two_sided=ep.as_bool("two_sided", False), tex_id=tex_id)
             inst_light[inst_id] = lid
 
+        # a scene whose ONLY light was a missing-asset HDRI would render
+        # black; substitute a constant gray sky with the light's scale and
+        # orientation so it stays renderable (classroom: the env map is not
+        # checked into the reference repo)
+        skipped = getattr(self, "_skipped_env", None)
+        if skipped is not None and not self.light_builder.rows:
+            import warnings
+            warnings.warn("scene has no lights; substituting a constant "
+                          "environment for the missing HDRI")
+            _, o2w_raw = skipped
+            # unit radiance sky: the original scale targeted an HDRI whose
+            # mean is unknown (classroom's is 300); applying it to a flat
+            # sky blows out the frame
+            image = np.full((8, 16, 3), 1.0, np.float32)
+            tex = self.atlas_builder.add_array(image)
+            self.light_builder.add_spherical([1.0, 1.0, 1.0],
+                                             xf.from_json(o2w_raw),
+                                             tex, image)
+
         # ---- flatten geometry ----
         self.tri_arrays, self.inst_mat, self.inst_light = self._flatten(
             mesh_parts, inst_mat, inst_light)
@@ -284,12 +303,17 @@ class Scene:
             from .texture import load_image
             try:
                 image = load_image(path, img.get("color_space", "linear"))
+                tex = self.atlas_builder.add_image(
+                    path, img.get("color_space", "linear"))
             except Exception as e:
+                # some reference scenes (classroom) reference HDRIs that were
+                # never checked into the repo; remember the skipped light so
+                # an otherwise-unlit scene can get a substitute gray sky
+                # instead of rendering black (see _build)
                 import warnings
                 warnings.warn(f"skipping spherical light, asset missing: {e}")
+                self._skipped_env = (c, p.raw("o2w"))
                 return
-            tex = self.atlas_builder.add_image(path,
-                                               img.get("color_space", "linear"))
             o2w = xf.from_json(p.raw("o2w"))
             self.light_builder.add_spherical(c, o2w, tex, image)
         elif lt == "directional":
