@@ -110,16 +110,50 @@ class TestSVGF:
 
 
 class TestRealtimeLoop:
-    def test_three_frames_converge(self):
+    def test_frames_converge_to_offline_brightness(self):
+        """The temporal loop must stay within a band of the offline render
+        mean — catches feedback explosions (a demodulation bug once sent
+        frame-2 brightness to 100x through SVGF history)."""
         from vision_tpu.integrator.realtime import RealTimeState, render_realtime
+        from vision_tpu.render import render
         sc = small_scene(32)
+        offline = render(sc, spp=8).mean()
         state = RealTimeState.initial((32, 32))
         imgs = []
-        for _ in range(3):
+        for _ in range(4):
             img, state = render_realtime(sc.data, sc.camera, state,
                                          m_light=4, spatial_taps=1,
                                          svgf_passes=2)
             imgs.append(np.asarray(img))
         assert all(np.isfinite(i).all() for i in imgs)
-        assert imgs[-1].mean() > 0.01
-        assert int(state.frame) == 3
+        for i, img in enumerate(imgs):
+            ratio = img.mean() / max(offline, 1e-9)
+            assert 0.3 < ratio < 3.0, (i, ratio)
+        assert int(state.frame) == 4
+
+    def test_sharc_fills_and_biases_little(self):
+        """SHARC in the realtime loop (rt.cpp dispatch order): the cache
+        accumulates GI path samples across frames, and cached-vs-traced
+        frames agree in brightness once the cache has converged."""
+        from vision_tpu.integrator.realtime import RealTimeState, render_realtime
+        sc = small_scene(32)
+        state = RealTimeState.initial((32, 32), sharc_capacity=1 << 12,
+                                      base_voxel=0.4)
+        means_on = []
+        for _ in range(6):
+            img, state = render_realtime(sc.data, sc.camera, state,
+                                         m_light=4, spatial_taps=1,
+                                         svgf_passes=1, use_sharc=True)
+            means_on.append(float(np.asarray(img).mean()))
+        filled = float(np.asarray(state.sharc.total_n > 0).mean())
+        assert filled > 0.001, "cache never accumulated"
+
+        state2 = RealTimeState.initial((32, 32))
+        means_off = []
+        for _ in range(6):
+            img, state2 = render_realtime(sc.data, sc.camera, state2,
+                                          m_light=4, spatial_taps=1,
+                                          svgf_passes=1, use_sharc=False)
+            means_off.append(float(np.asarray(img).mean()))
+        a, b = means_on[-1], means_off[-1]
+        assert 0.5 < a / max(b, 1e-9) < 2.0, (a, b)

@@ -14,11 +14,33 @@ def small_scene(res=32):
     return Scene(s)
 
 
+def indirect_bounce(scene, gb, state, max_depth=3):
+    """Plain 1-sample indirect PT continuing from the G-buffer surface —
+    the unbiased baseline the GI reservoir estimator is compared against."""
+    from vision_tpu.core.math import coordinate_system, to_local, to_world
+    from vision_tpu.core.types import Ray
+    from vision_tpu.integrator import pt
+    from vision_tpu.shading import bsdf as ub
+    from vision_tpu.shading.materials import gather_params
+
+    params, _ = gather_params(scene.materials, scene.atlas, gb.mat_id, gb.uv)
+    t, b = coordinate_system(gb.normal)
+    wo_l = to_local(t, b, gb.normal, gb.wo)
+    state, bs = ub.sample(params, wo_l, state)
+    wi = to_world(t, b, gb.normal, bs.wi)
+    f_cos = bs.ev.f * jnp.abs(bs.wi[..., 2])[..., None]
+    thr = jnp.where((bs.valid & gb.valid)[..., None],
+                    f_cos / jnp.maximum(bs.ev.pdf, 1e-9)[..., None], 0.0)
+    ray = Ray.make(pt.spawn_origin(gb.pos, gb.normal, wi), wi)
+    L, _ = pt.radiance(scene, ray, state, max_depth=max_depth)
+    return state, L * thr
+
+
 class TestReSTIRGI:
     def test_brightness_vs_indirect_pt(self):
         from vision_tpu.sensor.gbuffer import compute_gbuffer
         from vision_tpu.integrator import restir_gi
-        from vision_tpu.integrator.realtime import indirect_bounce
+        pass  # indirect_bounce: module-level PT baseline above
         from vision_tpu.core import rng as vrng
         sc = small_scene(32)
         n = 32 * 32
@@ -27,7 +49,7 @@ class TestReSTIRGI:
         for f in range(frames):
             gb = compute_gbuffer(sc.data, sc.camera, f)
             st = vrng.seed(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(f + 31))
-            st, L_gi, _ = restir_gi.restir_gi(sc.data, gb, st, prev=None,
+            st, L_gi, _, _ = restir_gi.restir_gi(sc.data, gb, st, prev=None,
                                               resolution=(32, 32),
                                               spatial_taps=0)
             st2 = vrng.seed(jnp.arange(n, dtype=jnp.uint32),
@@ -54,7 +76,7 @@ class TestReSTIRGI:
         for f in range(3):
             gb = compute_gbuffer(sc.data, sc.camera, f)
             st = vrng.seed(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(f))
-            st, L, res = restir_gi.restir_gi(sc.data, gb, st, prev=prev,
+            st, L, res, _ = restir_gi.restir_gi(sc.data, gb, st, prev=prev,
                                              resolution=(24, 24),
                                              spatial_taps=2)
             assert np.isfinite(np.asarray(L)).all()

@@ -1,61 +1,49 @@
-"""Real-time integrator: G-buffer + ReSTIR DI + 1spp GI + SVGF.
+"""Real-time integrator: G-buffer + ReSTIR DI + ReSTIR GI + SHARC + SVGF.
 
 Equivalent of the reference `rt` integrator
 (`/root/reference/src/render_core/integrator/rt.cpp` render flow, SURVEY.md
-§3.3): compute_GBuffer -> ReSTIR DI dispatch -> indirect pass -> SVGF
-reproject/filter. State (reservoirs, SVGF history, previous G-buffer) is an
-explicit pytree carried across frames — the functional analog of the
-reference's persistent device buffers.
+§3.3): compute_GBuffer -> ReSTIR DI dispatch -> ReSTIR GI dispatch (initial
+PT sample -> temporal reuse -> spatial reuse) -> SHARC radiance-cache
+update/resolve (queried at GI secondary vertices) -> combine -> SVGF
+reproject/filter. State (DI + GI reservoirs, SHARC cache, SVGF history,
+previous G-buffer) is an explicit pytree carried across frames — the
+functional analog of the reference's persistent device buffers.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..caches import sharc as sharc_mod
 from ..core import rng
-from ..core.math import coordinate_system, to_local, to_world
-from ..core.types import Ray
 from ..post import svgf as svgf_mod
 from ..sensor.gbuffer import compute_gbuffer
-from ..shading import bsdf as ub
-from ..shading.materials import gather_params
-from . import pt, restir
+from . import restir, restir_gi
 
 
 @struct.dataclass
 class RealTimeState:
-    reservoir: object     # restir.Reservoir
+    reservoir: object     # restir.Reservoir (DI)
+    gi_reservoir: object  # restir_gi.GIReservoir
+    sharc: object         # caches.sharc.SharcCache
     gbuffer: object       # GBuffer (previous frame)
     svgf: object          # SVGFState
     frame: jnp.ndarray    # scalar int
 
     @classmethod
-    def initial(cls, resolution):
+    def initial(cls, resolution, sharc_capacity=1 << 16, base_voxel=0.05):
         W, H = resolution
         return cls(reservoir=restir.Reservoir.empty(W * H),
+                   gi_reservoir=restir_gi.GIReservoir.empty(W * H),
+                   sharc=sharc_mod.SharcCache.create(sharc_capacity,
+                                                     base_voxel),
                    gbuffer=None, svgf=svgf_mod.init_state(H, W),
                    frame=jnp.zeros((), jnp.int32))
 
 
-def indirect_bounce(scene, gb, state, max_depth=3):
-    """1-sample indirect illumination continuing from the G-buffer surface
-    (ReSTIR GI initial-sample stand-in; full GI reservoirs in a later round)."""
-    params, _ = gather_params(scene.materials, scene.atlas, gb.mat_id, gb.uv)
-    t, b = coordinate_system(gb.normal)
-    wo_l = to_local(t, b, gb.normal, gb.wo)
-    state, bs = ub.sample(params, wo_l, state)
-    wi = to_world(t, b, gb.normal, bs.wi)
-    f_cos = bs.ev.f * jnp.abs(bs.wi[..., 2])[..., None]
-    thr = jnp.where((bs.valid & gb.valid)[..., None],
-                    f_cos / jnp.maximum(bs.ev.pdf, 1e-9)[..., None], 0.0)
-    ray = Ray.make(pt.spawn_origin(gb.pos, gb.normal, wi), wi)
-    L, _ = pt.radiance(scene, ray, state, max_depth=max_depth)
-    return state, L * thr
-
-
 def render_realtime(scene, camera, rt_state, m_light=8, spatial_taps=2,
-                    svgf_passes=3, gi=True, prev_camera=None):
+                    svgf_passes=3, gi=True, use_sharc=True,
+                    gi_bounce_depth=2, prev_camera=None):
     """One real-time frame. Returns (display image [H, W, 3], new state).
     Pass prev_camera when the camera moved so motion vectors reproject
     correctly (sensor.cpp store_prev_data analog)."""
@@ -68,30 +56,53 @@ def render_realtime(scene, camera, rt_state, m_light=8, spatial_taps=2,
     st = rng.seed(jnp.arange(n, dtype=jnp.uint32) ^ jnp.uint32(0x9e3779b9),
                   frame.astype(jnp.uint32))
 
-    prev = None
+    prev_di = prev_gi = None
     if rt_state.gbuffer is not None:
-        prev = (rt_state.reservoir, rt_state.gbuffer)
+        prev_di = (rt_state.reservoir, rt_state.gbuffer)
+        prev_gi = (rt_state.gi_reservoir, rt_state.gbuffer)
+
+    # --- ReSTIR DI (rt.cpp: _direct->dispatch) ---
     st, L_direct, new_res = restir.restir_di(
-        scene, gb, st, prev=prev, frame_index=frame, m_light=m_light,
+        scene, gb, st, prev=prev_di, frame_index=frame, m_light=m_light,
         spatial_taps=spatial_taps, resolution=(W, H))
 
+    # --- ReSTIR GI + SHARC (rt.cpp: _indirect->dispatch, cache update) ---
+    new_gi = rt_state.gi_reservoir
+    new_sharc = rt_state.sharc
+    cam_pos = camera.position if hasattr(camera, "position") else \
+        camera.c2w[:3, 3]
     if gi:
-        st, L_ind = indirect_bounce(scene, gb, st)
+        cache = rt_state.sharc if use_sharc else None
+        st, L_ind, new_gi, cache_samples = restir_gi.restir_gi(
+            scene, gb, st, prev=prev_gi, resolution=(W, H),
+            spatial_taps=spatial_taps, bounce_depth=gi_bounce_depth,
+            sharc=cache, cam_pos=cam_pos)
+        if use_sharc:
+            x_s, n_s, L_path, ok = cache_samples
+            new_sharc = sharc_mod.update(rt_state.sharc, x_s, n_s, L_path,
+                                         cam_pos, ok)
+            new_sharc = sharc_mod.resolve(new_sharc)
         L = L_direct + L_ind
     else:
         L = L_direct
 
-    # env for primary misses
+    # SVGF filters the demodulated SURFACE illumination only: emissive
+    # pixels (albedo 0, radiance >> 0) explode under albedo demodulation
+    # and primary-miss env pixels aren't illumination either — both are
+    # composited back after filtering (reference modulator pass).
     from ..lights import lights as lt
     env = lt.env_radiance(scene.lights, scene.atlas, -gb.wo)
-    L = jnp.where(gb.valid[..., None], L, env)
+    L_surf = jnp.where(gb.valid[..., None], L - gb.emission, 0.0)
 
-    img = L.reshape(H, W, 3)
+    img = L_surf.reshape(H, W, 3)
     filtered, new_svgf = svgf_mod.svgf_filter(
         img, gb.albedo.reshape(H, W, 3), gb.normal.reshape(H, W, 3),
         gb.depth.reshape(H, W), gb.motion.reshape(H, W, 2),
         rt_state.svgf, n_passes=svgf_passes)
+    em_env = jnp.where(gb.valid[..., None], gb.emission, env)
+    filtered = filtered + em_env.reshape(H, W, 3)
 
-    new_state = RealTimeState(reservoir=new_res, gbuffer=gb, svgf=new_svgf,
+    new_state = RealTimeState(reservoir=new_res, gi_reservoir=new_gi,
+                              sharc=new_sharc, gbuffer=gb, svgf=new_svgf,
                               frame=frame + 1)
     return filtered, new_state

@@ -48,9 +48,13 @@ def _phat(gb, params, wo_l, frame, x_s, L_s):
     return jnp.maximum(luminance(f_cos * L_s), 0.0)
 
 
-def initial_samples(scene, gb, state, bounce_depth=2):
+def initial_samples(scene, gb, state, bounce_depth=2, sharc=None,
+                    cam_pos=None):
     """One BSDF-sampled indirect path per pixel (indirect.cpp initial pass).
-    Returns (state, reservoir, shading context)."""
+    With `sharc` (a SharcCache) the traced incident radiance is replaced by
+    the cache value where the cache has converged (rt.cpp: SHARC queried at
+    secondary vertices), cutting initial-sample variance. Returns
+    (state, reservoir, shading context, cache-update samples)."""
     n = gb.pos.shape[0]
     params, _ = gather_params(scene.materials, scene.atlas, gb.mat_id, gb.uv)
     t, b = coordinate_system(gb.normal)
@@ -69,7 +73,12 @@ def initial_samples(scene, gb, state, bounce_depth=2):
     n_s = jnp.where(hit.is_hit[..., None], ns2, -wi)
 
     # incident radiance from the sample point: continue the path
-    L_s, _ = pt.radiance(scene, ray, state, max_depth=bounce_depth)
+    L_path, _ = pt.radiance(scene, ray, state, max_depth=bounce_depth)
+    L_s = L_path
+    if sharc is not None:
+        from ..caches import sharc as sh
+        L_q, ok = sh.query(sharc, x_s, n_s, cam_pos)
+        L_s = jnp.where((ok & hit.is_hit)[..., None], L_q, L_path)
 
     p_hat = _phat(gb, params, wo_l, frame, x_s, L_s)
     src_pdf = jnp.maximum(bs.ev.pdf, 1e-8)
@@ -77,13 +86,16 @@ def initial_samples(scene, gb, state, bounce_depth=2):
     res = GIReservoir(x_s=x_s, n_s=n_s, L_s=L_s, wsum=w,
                       M=jnp.ones((n,)), W=jnp.zeros((n,)), p_hat=p_hat)
     res = _finalize(res)
-    return state, res, (params, wo_l, frame)
+    cache_samples = (x_s, n_s, L_path, hit.is_hit & gb.valid & bs.valid)
+    return state, res, (params, wo_l, frame), cache_samples
 
 
 def _finalize(res):
+    # W cap mirrors reservoir.h safe_weight: near-zero p_hat samples
+    # otherwise explode into fireflies that SVGF smears for many frames
     W = safe_div(res.wsum, res.M * res.p_hat)
     return res.replace(W=jnp.clip(jnp.where(jnp.isfinite(W), W, 0.0),
-                                  0.0, 1e6))
+                                  0.0, 100.0))
 
 
 def _jacobian(gb_from_pos, res_n_s, res_x_s, gb_to_pos):
@@ -115,13 +127,14 @@ def _merge(res, other, other_origin_pos, gb, params, wo_l, frame, u):
 
 
 def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
-              spatial_radius=12.0, history_limit=16.0, bounce_depth=2):
+              spatial_radius=12.0, history_limit=16.0, bounce_depth=2,
+              sharc=None, cam_pos=None):
     """Full GI pass. prev: (prev_reservoir, prev_gbuffer) or None.
-    Returns (state, L_indirect [N, 3], reservoir)."""
+    Returns (state, L_indirect [N, 3], reservoir, cache_samples)."""
     n = gb.pos.shape[0]
     W_, H_ = resolution
-    state, res, (params, wo_l, frame) = initial_samples(
-        scene, gb, state, bounce_depth)
+    state, res, (params, wo_l, frame), cache_samples = initial_samples(
+        scene, gb, state, bounce_depth, sharc=sharc, cam_pos=cam_pos)
 
     if prev is not None:
         prev_res, prev_gb = prev
@@ -170,4 +183,4 @@ def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
     f_cos = ev.f * jnp.abs(wi_l[..., 2])[..., None]
     L = f_cos * res.L_s * res.W[..., None]
     L = jnp.where((gb.valid & jnp.logical_not(occ))[..., None], L, 0.0)
-    return state, L, res
+    return state, L, res, cache_samples
