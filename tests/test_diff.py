@@ -98,3 +98,88 @@ class TestInverseRendering:
         rec = np.asarray(params["kd"][2])
         tru = np.asarray(true_kd[2])
         assert np.abs(rec - tru).max() < 0.08, (rec, tru)
+
+
+class TestFullSurface:
+    """Gradients for the remaining parameter groups of the differentiable
+    surface (base/encoded_object.h analog): texture texels, light position,
+    camera pose; plus texture recovery (BASELINE config 5)."""
+
+    def _textured_scene(self, res=24):
+        """cbox with an image-textured back wall (texture written to tmp)."""
+        import os
+        import tempfile
+        from vision_tpu.sensor import film
+        rs = np.random.RandomState(7)
+        tex = (rs.rand(8, 8, 3) * 0.8 + 0.1).astype(np.float32)
+        d = tempfile.mkdtemp()
+        fn = os.path.join(d, "wall.png")
+        film.to_png(tex, fn)
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [res, res]
+        s["materials"] = list(s["materials"]) + [{
+            "type": "diffuse", "name": "texwall",
+            "param": {"color": {"fn": "wall.png", "color_space": "srgb"}}}]
+        for sh in s["shapes"]:
+            if sh.get("name") == "back":
+                sh["param"]["material"] = "texwall"
+                break
+        return Scene(s, scene_dir=d)
+
+    def test_texture_texel_gradients_and_recovery(self):
+        from vision_tpu.diff import optimize as opt
+        sc = self._textured_scene(24)
+        assert sc.data.atlas.data.shape[0] > 1, "texture never loaded"
+        true_params = opt.param_surface(sc.data, sc.camera, ("atlas",))
+        target = opt.render_with_params(sc.data, sc.camera, true_params, 5,
+                                        max_depth=2)
+
+        # start from a flat gray atlas
+        gray = sc.data.replace(atlas=sc.data.atlas.replace(
+            data=jnp.full_like(sc.data.atlas.data, 0.5)))
+        params, losses = opt.optimize_scene(
+            gray, sc.camera, target, groups=("atlas",), steps=24, lr=0.1,
+            max_depth=2, fixed_frame=5)
+        assert losses[-1] < losses[0] * 0.35, losses[::6]
+
+    def test_light_position_gradient_matches_fd(self):
+        from vision_tpu.diff import optimize as opt
+        sc = small_scene(16)
+
+        def f(pos):
+            params = {"lights": {"position": pos}}
+            img = opt.render_with_params(sc.data, sc.camera, params, 3,
+                                         max_depth=2)
+            return jnp.mean(img)
+
+        pos0 = sc.data.lights.position
+        g = jax.grad(f)(pos0)
+        # FD on the light y-coordinate (light 0)
+        eps = 1e-2
+        e = jnp.zeros_like(pos0).at[0, 1].set(eps)
+        fd = (f(pos0 + e) - f(pos0 - e)) / (2 * eps)
+        ad = g[0, 1]
+        assert np.isfinite(float(ad))
+        denom = max(abs(float(fd)), 1e-5)
+        assert abs(float(ad) - float(fd)) / denom < 0.2, (float(ad), float(fd))
+
+    def test_camera_pose_gradient_flows(self):
+        """Camera-pose gradients exist and are finite/nonzero. An FD
+        comparison is NOT meaningful here: translating the camera moves
+        silhouettes, so finite differences are discontinuity-dominated
+        while AD yields the interior derivative (edge sampling is a future
+        round — module docstring)."""
+        from vision_tpu.diff import optimize as opt
+        sc = small_scene(16)
+
+        def f(c2w):
+            params = {"camera": {"c2w": c2w}}
+            img = opt.render_with_params(sc.data, sc.camera, params, 3,
+                                         max_depth=2)
+            return jnp.mean(img)
+
+        g = jax.grad(f)(sc.camera.c2w)
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).sum() > 1e-6, "camera gradient vanished"

@@ -27,10 +27,57 @@ def float_leaves(table):
             if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)}
 
 
+# ---------------------------------------------------------------------------
+# The full differentiable surface (base/encoded_object.h:21-60 equivalent:
+# every Encodable's device data — here the four parameter groups that make
+# sense to optimize). `params` is a nested dict keyed by group:
+#   materials: material-table float leaves (albedo, roughness, eta, ...)
+#   lights:    light-table float leaves (color, position, direction, ...)
+#   atlas:     texture atlas texels (data [N, 3])
+#   camera:    c2w pose matrix (+ tan_half_fov for intrinsics)
+# ---------------------------------------------------------------------------
+
+GROUPS = ("materials", "lights", "atlas", "camera")
+
+
+def param_surface(scene, camera, groups=("materials",)):
+    """Extract the requested differentiable parameter groups."""
+    out = {}
+    if "materials" in groups:
+        out["materials"] = float_leaves(scene.materials)
+    if "lights" in groups:
+        keys = ("color", "position", "direction")
+        out["lights"] = {k: v for k, v in
+                         float_leaves(scene.lights).items() if k in keys}
+    if "atlas" in groups:
+        out["atlas"] = {"data": scene.atlas.data}
+    if "camera" in groups:
+        out["camera"] = {"c2w": camera.c2w}
+    return out
+
+
+def apply_params(scene, camera, params):
+    """Rebuild (scene, camera) with `params` substituted."""
+    if "materials" in params:
+        scene = scene.replace(
+            materials=scene.materials.replace(**params["materials"]))
+    if "lights" in params:
+        scene = scene.replace(
+            lights=scene.lights.replace(**params["lights"]))
+    if "atlas" in params:
+        scene = scene.replace(atlas=scene.atlas.replace(**params["atlas"]))
+    if "camera" in params:
+        camera = camera.replace(**params["camera"])
+    return scene, camera
+
+
 def render_with_params(scene, camera, params, frame_index, max_depth=4,
                        spp=1):
-    """Forward render with material-table floats overridden by `params`."""
-    sc = scene.replace(materials=scene.materials.replace(**params))
+    """Forward render with parameter groups overridden by `params`.
+    `params` may be a flat materials dict (legacy) or a nested group dict."""
+    if params and not any(k in GROUPS for k in params):
+        params = {"materials": params}
+    sc, camera = apply_params(scene, camera, params)
     W, H = camera.resolution
     n = W * H
     pix = jnp.arange(n, dtype=jnp.uint32)
@@ -81,6 +128,51 @@ def optimize_materials(scene, camera, target, param_keys=("kd",), steps=32,
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         params = jax.tree.map(lambda p: jnp.clip(p, 0.0, None), params)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        f = i if fixed_frame is None else fixed_frame
+        params, opt_state, loss = step(params, opt_state, jnp.uint32(f))
+        losses.append(float(loss))
+        if verbose and i % 8 == 0:
+            print(f"  step {i}: loss {losses[-1]:.6f}")
+    return params, losses
+
+
+def _clip_physical(params):
+    """Project back to physical ranges: reflectances/texels/light color are
+    non-negative; positions/directions/pose stay free."""
+    out = dict(params)
+    for g in ("materials", "atlas"):
+        if g in out:
+            out[g] = jax.tree.map(lambda p: jnp.clip(p, 0.0, None), out[g])
+    if "lights" in out and "color" in out["lights"]:
+        lights = dict(out["lights"])
+        lights["color"] = jnp.clip(lights["color"], 0.0, None)
+        out["lights"] = lights
+    return out
+
+
+def optimize_scene(scene, camera, target, groups=("materials",), steps=32,
+                   lr=5e-2, max_depth=3, spp=1, verbose=False,
+                   fixed_frame=None):
+    """Adam-optimize any differentiable parameter groups (texture texels,
+    light color/position, camera pose, material floats) against `target`
+    (BASELINE config 5: differentiable texture/light optimization).
+    Returns (optimized nested params dict, losses)."""
+    params = param_surface(scene, camera, groups)
+    loss_fn = make_loss(scene, camera, target, max_depth, spp)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, frame):
+        loss, grads = jax.value_and_grad(loss_fn)(params, frame)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = _clip_physical(params)
         return params, opt_state, loss
 
     losses = []

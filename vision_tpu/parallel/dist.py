@@ -70,45 +70,50 @@ def render_sharded(scene, camera, filt, frame_index, mesh, max_depth=8,
 
 
 def training_step(scene, camera, filt, frame_index, mesh, target,
-                  max_depth=4):
+                  max_depth=4, groups=("materials",), spp_local=1):
     """Differentiable render step sharded over the mesh: L2 loss against a
-    target image, gradients w.r.t. material table (psum over all axes).
+    target image, gradients w.r.t. the full differentiable surface
+    (material floats, texture atlas texels, light color/position, camera
+    pose — `base/encoded_object.h:21-60` equivalent groups), psum over all
+    mesh axes.
 
     This is the renderer-shaped 'training step' (inverse rendering): the
     backward sweep re-traverses the wavefront; parameter grads are
-    all-reduced over ICI.
+    all-reduced over ICI. spp_local: samples averaged per chip before the
+    loss (variance reduction at fixed step count).
     """
+    from ..diff.optimize import apply_params, param_surface
     W, H = camera.resolution
     n = W * H
     n_dp = mesh.shape["dp"]
 
-    def loss_local(mat_floats, scene_, camera_, filt_, frame_, target_local):
+    def loss_local(params, scene_, camera_, filt_, frame_, target_local):
         dp_i = jax.lax.axis_index("dp")
         sp_i = jax.lax.axis_index("sp")
         n_sp = mesh.shape["sp"]
-        scene_ = scene_.replace(
-            materials=scene_.materials.replace(**mat_floats))
+        scene_, camera_ = apply_params(scene_, camera_, params)
         n_local = n // n_dp
         pix = dp_i * n_local + jnp.arange(n_local, dtype=jnp.uint32)
         px = (pix % W).astype(jnp.float32)
         py = (pix // W).astype(jnp.float32)
-        st = rng.seed(pix, frame_ * jnp.uint32(n_sp) + sp_i.astype(jnp.uint32))
-        st, u_film = rng.next_2d(st)
-        p_film = jnp.stack([px + 0.5, py + 0.5], -1)
-        ray = camera_.generate_ray(p_film)
-        L, _ = pt.radiance(scene_, ray, st, max_depth, 0, 1.0, remat=True)
+        L = jnp.zeros((n_local, 3))
+        for s in range(spp_local):
+            st = rng.seed(pix, (frame_ * jnp.uint32(spp_local)
+                                + jnp.uint32(s)) * jnp.uint32(n_sp)
+                          + sp_i.astype(jnp.uint32))
+            p_film = jnp.stack([px + 0.5, py + 0.5], -1)
+            ray = camera_.generate_ray(p_film)
+            Ls, _ = pt.radiance(scene_, ray, st, max_depth, 0, 1.0,
+                                remat=True)
+            L = L + Ls
+        L = L / spp_local
         diff = L - target_local.reshape(-1, 3)
         return jnp.mean(diff * diff)
 
     def step_fn(scene_, camera_, filt_, frame_, target_):
-        # differentiate only float-valued material parameters (tex ids,
-        # mode flags stay fixed)
-        mt = scene_.materials
-        mat_floats = {k: v for k, v in vars(mt).items()
-                      if hasattr(v, "dtype")
-                      and jnp.issubdtype(v.dtype, jnp.floating)}
+        params = param_surface(scene_, camera_, groups)
         loss, grads = jax.value_and_grad(loss_local)(
-            mat_floats, scene_, camera_, filt_, frame_, target_)
+            params, scene_, camera_, filt_, frame_, target_)
         # all-reduce over both mesh axes (grads must agree on every chip)
         loss = jax.lax.pmean(jax.lax.pmean(loss, "dp"), "sp")
         grads = jax.tree.map(
