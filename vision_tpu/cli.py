@@ -20,12 +20,18 @@ def main(argv=None):
                     help="force platform (default: best available)")
     ap.add_argument("--denoise", action="store_true",
                     help="apply the post denoiser before tonemap")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize the JAX multi-process runtime "
+                         "(multi-host pods; run one process per host)")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from .parallel import launch
+        launch.init_distributed()
 
     from .scene.scene import load_scene
     from .render import render, postprocess
