@@ -139,3 +139,62 @@ def test_scene_with_calc_node_renders_nonwhite(tmp_path):
     c = np.asarray(img)[6:10, 6:10].mean(axis=(0, 1))
     # directional E = pi => L_out = albedo (texture * number)
     np.testing.assert_allclose(c, [0.5, 0.25, 0.125], rtol=0.05)
+
+
+class TestNormalMapping:
+    def test_bump_slot_perturbs_shading_normals(self):
+        """material.h bump slot -> shade-time normal mapping
+        (converter.cpp normal_map): G-buffer normals on a flat wall must
+        vary with the map, and the render must differ from the unbumped
+        scene."""
+        import copy
+        import os
+        import tempfile
+        import numpy as np
+        import jax.numpy as jnp
+        from tests.fixtures import CBOX_JSON
+        from vision_tpu.scene.scene import Scene
+        from vision_tpu.sensor.gbuffer import compute_gbuffer
+        from vision_tpu.sensor import film
+        from vision_tpu.render import render
+
+        # tangent-space normal map: tilted normals varying across x
+        H = W = 16
+        nm = np.zeros((H, W, 3), np.float32)
+        ang = np.linspace(-0.9, 0.9, W)[None, :]
+        nm[..., 0] = np.broadcast_to(np.sin(ang), (H, W))
+        nm[..., 2] = np.broadcast_to(np.cos(ang), (H, W))
+        nm01 = (nm * 0.5 + 0.5)
+        d = tempfile.mkdtemp()
+        film.to_png(nm01, os.path.join(d, "bump.png"))
+
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [24, 24]
+        s2 = copy.deepcopy(s)
+        s2["materials"] = list(s2["materials"]) + [{
+            "type": "diffuse", "name": "bumpy",
+            "param": {"color": [0.7, 0.7, 0.7],
+                      "bump": {"fn": "bump.png", "color_space": "linear"},
+                      "bump_scale": 1.0}}]
+        for sh in s2["shapes"]:
+            if sh.get("name") == "back":
+                sh["param"]["material"] = "bumpy"
+        sc_plain = Scene(s, scene_dir=d)
+        sc_bump = Scene(s2, scene_dir=d)
+        assert "nmap" in sc_bump.data.materials.feats
+        assert "nmap" not in sc_plain.data.materials.feats
+
+        gb = compute_gbuffer(sc_bump.data, sc_bump.camera, 0)
+        n = np.asarray(gb.normal)
+        mid = np.asarray(gb.mat_id)
+        bumpy_id = sc_bump.mat_compiler.get("bumpy")
+        wall = mid == bumpy_id
+        assert wall.sum() > 20
+        # normals across the wall must not all agree (flat wall otherwise)
+        spread = n[wall].std(axis=0).max()
+        assert spread > 0.05, spread
+
+        img_a = render(sc_plain, spp=4)
+        img_b = render(sc_bump, spp=4)
+        assert not np.allclose(img_a, img_b, atol=5e-3)

@@ -131,3 +131,30 @@ class TestUpsample:
         assert np.isfinite(out).all()
         assert out[:, : W // 4].mean() > 0.9
         assert out[:, -W // 4:].mean() < 0.1
+
+
+class TestBakedDisplay:
+    def test_render_baked_consumes_lightmap(self):
+        """Bake -> display path (reference BakePipeline display shader):
+        the baked image must be lit (nonzero away from the light) and
+        within a band of the path-traced render for this diffuse scene."""
+        import copy
+        import jax.numpy as jnp
+        from tests.fixtures import CBOX_JSON
+        from vision_tpu.scene.scene import Scene
+        from vision_tpu.pipelines import bake
+        from vision_tpu.render import render
+
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [24, 24]
+        sc = Scene(s)
+        baked = bake.bake_scene(sc.data, lightmap_res=64, spp=4, max_depth=2)
+        img = bake.render_baked(sc.data, sc.camera, baked)
+        img = np.asarray(img)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
+
+        ref = render(sc, spp=4)
+        ratio = img.mean() / max(ref.mean(), 1e-9)
+        assert 0.3 < ratio < 3.0, ratio

@@ -154,6 +154,34 @@ def compute_interaction(scene, ray, hit):
     inst = a[..., 24].astype(jnp.int32)
     mat_id = a[..., 25].astype(jnp.int32)
     light_id = a[..., 26].astype(jnp.int32)
+
+    # shade-time normal mapping (material.h bump slot; shadernode
+    # converter.cpp normal_map:58-62). Static-gated on any material
+    # carrying a normal map so unaffected scenes pay nothing.
+    if "nmap" in getattr(scene.materials, "feats", ()):
+        mt = scene.materials
+        mid = jnp.clip(mat_id, 0, mt.normal_tex.shape[0] - 1)
+        nt, strength = fetch_rows([mt.normal_tex, mt.bump_scale], mid)
+        nt = nt.astype(jnp.int32)
+        texn = scene.atlas.sample(jnp.maximum(nt, 0), uv) * 2.0 - 1.0
+        s = strength
+        nx = texn[..., 0] * s
+        ny = texn[..., 1] * s
+        nz = (1.0 - s) + s * texn[..., 2]
+        # uv-aligned tangent (so the map's x follows the u direction)
+        duv1 = a[..., 20:22] - a[..., 18:20]
+        duv2 = a[..., 22:24] - a[..., 18:20]
+        det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+        T = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2])
+        T = T * jnp.sign(det)[..., None]
+        # degenerate uv charts: fall back to an arbitrary tangent
+        t_ok = (jnp.abs(det) > 1e-12) & (jnp.sum(T * T, -1) > 1e-16)
+        T = jnp.where(t_ok[..., None], T, coordinate_system(ns)[0])
+        T = normalize(T - ns * dot(T, ns)[..., None])
+        B = cross(ns, T)
+        ns_m = normalize(T * nx[..., None] + B * ny[..., None]
+                         + ns * nz[..., None])
+        ns = jnp.where((nt >= 0)[..., None], face_forward(ns_m, ng), ns)
     return pos, ng, ns, uv, inst, mat_id, light_id
 
 

@@ -179,10 +179,80 @@ def dilate(lm, covered, iterations=2):
 
 
 def sample_lightmap(lm, uv0, uv1, uv2, tri_id, b1, b2):
-    """Fetch baked radiance for a surface point (display-shader side)."""
+    """Fetch baked irradiance for a surface point, bilinear
+    (display-shader side)."""
     H, W = lm.shape[:2]
     uv = (uv0[tri_id] + b1[..., None] * (uv1[tri_id] - uv0[tri_id])
           + b2[..., None] * (uv2[tri_id] - uv0[tri_id]))
-    x = jnp.clip(uv[..., 0].astype(jnp.int32), 0, W - 1)
-    y = jnp.clip(uv[..., 1].astype(jnp.int32), 0, H - 1)
-    return lm[y, x]
+    sx = uv[..., 0] - 0.5
+    sy = uv[..., 1] - 0.5
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    def tap(xi, yi):
+        return lm[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+
+    return (tap(x0, y0) * (1 - fx) * (1 - fy)
+            + tap(x0 + 1, y0) * fx * (1 - fy)
+            + tap(x0, y0 + 1) * (1 - fx) * fy
+            + tap(x0 + 1, y0 + 1) * fx * fy)
+
+
+class BakedLightmap:
+    """Bake product as device arrays, consumable by the display path
+    (reference: per-instance lightmap_id in InstanceData `shape.h:21-33` +
+    the bake display shader. Here geometry is a flattened world-space
+    triangle soup, so the TRIANGLE id is the chart key directly)."""
+
+    def __init__(self, lm, charts):
+        uv0, uv1, uv2 = charts
+        self.lm = jnp.asarray(lm)
+        self.uv0 = jnp.asarray(uv0)
+        self.uv1 = jnp.asarray(uv1)
+        self.uv2 = jnp.asarray(uv2)
+
+
+def bake_scene(scene, lightmap_res=128, spp=16, max_depth=4, seed=0):
+    """Full bake: returns a BakedLightmap ready for render_baked."""
+    lm, charts = bake_lightmap(scene, lightmap_res, spp, max_depth, seed)
+    return BakedLightmap(lm, charts)
+
+
+def render_baked(scene, camera, baked, frame_index=0):
+    """Display pass consuming the bake (BakePipeline display shader):
+    primary visibility, then emission + albedo/pi * baked irradiance.
+    Returns linear HDR [H, W, 3]."""
+    from ..shading import bsdf as ub
+    from ..shading.materials import gather_params
+
+    W, H = camera.resolution
+    n = W * H
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    px = (pix % W).astype(jnp.float32)
+    py = (pix // W).astype(jnp.float32)
+    st = rng.seed(pix, jnp.uint32(frame_index))
+    st, u_film = rng.next_2d(st)
+    p_film = jnp.stack([px + 0.5, py + 0.5], -1)
+    ray = camera.generate_ray(p_film)
+    hit = pt.trace_closest(scene, ray)
+    pos, ng, ns, uv, inst, mat_id, light_id = pt.compute_interaction(
+        scene, ray, hit)
+
+    from ..core.math import to_local
+    params, _ = gather_params(scene.materials, scene.atlas, mat_id, uv)
+    t, b = coordinate_system(ns)
+    wo_l = to_local(t, b, ns, -ray.direction)
+    albedo = ub.albedo(params, wo_l)
+
+    E = sample_lightmap(baked.lm, baked.uv0, baked.uv1, baked.uv2,
+                        jnp.maximum(hit.prim_id, 0), hit.bary[..., 0],
+                        hit.bary[..., 1])
+    from ..lights import lights as lt
+    Le, _ = lt.eval_hit_area(scene.lights, light_id, hit.prim_id, None,
+                             ray.origin, pos, ng, uv, scene.atlas)
+    L = Le + albedo * E / jnp.pi
+    env = lt.env_radiance(scene.lights, scene.atlas, ray.direction)
+    L = jnp.where(hit.is_hit[..., None], L, env)
+    return L.reshape(H, W, 3)

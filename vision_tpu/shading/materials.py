@@ -54,6 +54,10 @@ class MaterialTable:
     mix_wa: jnp.ndarray         # [M]
     mix_wb: jnp.ndarray         # [M]
     frac_tex: jnp.ndarray       # [M] textured mix fraction (-1 const)
+    # tangent-space normal map (material.h bump slot; shadernode
+    # converter.cpp normal_map evaluated at shade time, not baked)
+    normal_tex: jnp.ndarray     # [M] atlas tex id (-1 none)
+    bump_scale: jnp.ndarray     # [M] normal_map strength
     # spectral registries (shared rows, gathered in hero mode)
     glass_coeffs: jnp.ndarray   # [G, 6] Sellmeier B1 C1 B2 C2 B3 C3
     metal_eta_spd: jnp.ndarray  # [Mt, 95]
@@ -82,6 +86,7 @@ def _default_row():
         flatness=0.0, metallic=0.0,
         dispersive_id=-1, metal_id=-1,
         mix_b=-1, mix_wa=1.0, mix_wb=0.0, frac_tex=-1,
+        normal_tex=-1, bump_scale=1.0,
     )
 
 
@@ -186,6 +191,12 @@ class MaterialCompiler:
             row.update(diffuse_weight=1.0, kd=[0.5, 0.5, 0.5])
             return row
         fn(row, p)
+        # base-material bump slot (material.h): tangent-space normal map,
+        # evaluated at shade time (pt.compute_interaction)
+        if p.raw("bump", None) is not None:
+            _, btex = self._slot_rgb(p, "bump", [0.5, 0.5, 1.0])
+            row.update(normal_tex=btex,
+                       bump_scale=p.as_float("bump_scale", 1.0))
         return row
 
     # ---- per-type compilers (cite: render_core/material/<type>.cpp) ----
@@ -369,7 +380,7 @@ class MaterialCompiler:
         cols = {k: [r[k] for r in self.rows] for k in keys}
         int_keys = {"kd_tex", "spec_tex", "rough_tex", "rough_remap",
                     "diffuse_kind", "fr_mode", "dispersive_id", "metal_id",
-                    "mix_b", "frac_tex"}
+                    "mix_b", "frac_tex", "normal_tex"}
         arrs = {}
         for k, v in cols.items():
             dt = jnp.int32 if k in int_keys else jnp.float32
@@ -403,6 +414,8 @@ class MaterialCompiler:
             feats.append("disney")
         if any(r["mix_b"] >= 0 for r in rows):
             feats.append("mix2")
+        if any(r["normal_tex"] >= 0 for r in rows):
+            feats.append("nmap")  # shade-time normal mapping active
         # rough conductor/mirror -> enable the multiple-scattering lobe
         import os
         lut_path = os.path.join(os.path.dirname(__file__), "..", "data",

@@ -20,8 +20,12 @@ Supported node types (render_core/shadernode):
 Channel swizzles ("channels": "xyz"/"x"/"wxy"...) apply to any node result
 (node_desc.h:146-231 SlotDesc).
 
-Context-dependent nodes (fresnel, normal_map, vector_mapping — converter.cpp)
-cannot bake; they fall back to their average with a warning.
+Context-dependent nodes (converter.cpp): normal maps do NOT bake — the
+material `bump` slot stores the map's atlas id and pt.compute_interaction
+perturbs the shading normal at shade time (uv-aligned tangent frame,
+converter.cpp normal_map:58-62 strength semantics). Remaining
+context-dependent calc nodes (fresnel, vector_mapping) fall back to a
+neutral constant with a warning.
 """
 from __future__ import annotations
 
