@@ -8,5 +8,14 @@ throughout.
 """
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bf16-truncated inputs; the renderer routes
+# GEOMETRY (triangle positions/normals) through one-hot-matmul row fetches
+# (core/gather.py), and bf16-quantized positions break the shadow-ray
+# offset (~11% energy loss vs CPU measured on cbox). Renderer math is
+# exact-f32 everywhere; kernels that can tolerate bf16 opt in locally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .scene.scene import Scene, load_scene  # noqa: F401
 from .render import render, render_to_file, postprocess  # noqa: F401
