@@ -1,10 +1,16 @@
-"""Minimal glTF 2.0 mesh importer (.gltf JSON + .bin buffers, .glb).
+"""glTF 2.0 importer (.gltf JSON + .bin buffers, .glb).
 
 Part of the importer capability the reference gets from assimp
-(`/root/reference/src/importers/assimp/assimp_parser.h`): extracts triangle
-meshes (POSITION/NORMAL/TEXCOORD_0 + indices) with node transforms applied.
-Materials/cameras/lights from glTF are not mapped yet (scene JSON drives
-those).
+(`/root/reference/src/importers/assimp/assimp_parser.h:36-60`: meshes,
+cameras, lights, materials from any format):
+
+  * load_gltf: triangle meshes (POSITION/NORMAL/TEXCOORD_0 + indices)
+    with node transforms applied, whole file or one (node, prim);
+  * load_gltf_scene: a FULL vision scene dict — pbrMetallicRoughness
+    materials map to principled_bsdf rows (baseColor/metallic/roughness/
+    baseColorTexture/normalTexture->bump), KHR_lights_punctual nodes map
+    to point/spot/directional lights, the first camera node maps to the
+    pinhole camera — renderable directly by Scene(path.gltf).
 """
 from __future__ import annotations
 
@@ -96,8 +102,28 @@ def _node_matrix(node):
     return m
 
 
-def load_gltf(path):
-    """Load all triangle primitives (world-transformed) -> one TriMesh."""
+def _walk_nodes(doc):
+    """Yield (node_idx, world_matrix) in scene order."""
+    out = []
+
+    def visit(node_idx, parent):
+        node = doc["nodes"][node_idx]
+        m = parent @ _node_matrix(node)
+        out.append((node_idx, m))
+        for c in node.get("children", []):
+            visit(c, m)
+
+    scene_idx = doc.get("scene", 0)
+    roots = doc["scenes"][scene_idx]["nodes"] if "scenes" in doc else \
+        list(range(len(doc.get("nodes", []))))
+    for r in roots:
+        visit(r, np.eye(4))
+    return out
+
+
+def load_gltf(path, node=None, prim=None):
+    """Load triangle primitives (world-transformed) -> one TriMesh.
+    With node/prim given, only that primitive loads (per-material shapes)."""
     doc, bin_chunks = _load_gltf_json(path)
     base_dir = os.path.dirname(os.path.abspath(path))
     cache = {}
@@ -105,15 +131,22 @@ def load_gltf(path):
     P, N, UV, T = [], [], [], []
     voff = 0
 
-    def visit(node_idx, parent):
+    def visit_one(node_idx, m):
         nonlocal voff
-        node = doc["nodes"][node_idx]
-        m = parent @ _node_matrix(node)
-        if "mesh" in node:
-            mesh = doc["meshes"][node["mesh"]]
-            for prim in mesh.get("primitives", []):
-                if prim.get("mode", 4) != 4:
-                    continue
+        nd = doc["nodes"][node_idx]
+        if "mesh" not in nd:
+            return
+        mesh = doc["meshes"][nd["mesh"]]
+        for pi, pr in enumerate(mesh.get("primitives", [])):
+            if prim is not None and pi != prim:
+                continue
+            if pr.get("mode", 4) != 4:
+                continue
+            _load_prim(pr, m)
+
+    def _load_prim(prim, m):
+        nonlocal voff
+        if True:
                 attrs = prim["attributes"]
                 pos = _accessor(doc, cache, bin_chunks, base_dir,
                                 attrs["POSITION"]).astype(np.float64)
@@ -146,16 +179,127 @@ def load_gltf(path):
                 UV.append(uv[:, :2])
                 T.append(tris.astype(np.int32))
                 voff += n_el
-        for c in node.get("children", []):
-            visit(c, m)
 
-    scene_idx = doc.get("scene", 0)
-    roots = doc["scenes"][scene_idx]["nodes"] if "scenes" in doc else \
-        list(range(len(doc.get("nodes", []))))
-    for r in roots:
-        visit(r, np.eye(4))
+    for node_idx, m in _walk_nodes(doc):
+        if node is not None and node_idx != node:
+            continue
+        visit_one(node_idx, m)
 
     if not P:
         raise ValueError(f"no triangle meshes in {path}")
     return TriMesh(np.concatenate(P), np.concatenate(N),
                    np.concatenate(UV), np.concatenate(T))
+
+
+def _map_material(doc, mat_idx, base_dir):
+    """pbrMetallicRoughness -> vision material desc (principled_bsdf)."""
+    gm = doc["materials"][mat_idx]
+    name = gm.get("name", f"gltf_mat_{mat_idx}")
+    pbr = gm.get("pbrMetallicRoughness", {})
+    base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+    param = {"metallic": float(pbr.get("metallicFactor", 1.0)),
+             "roughness": float(pbr.get("roughnessFactor", 1.0))}
+    tex = pbr.get("baseColorTexture")
+    if tex is not None:
+        src = doc["textures"][tex["index"]].get("source")
+        uri = doc["images"][src].get("uri") if src is not None else None
+        if uri and not uri.startswith("data:"):
+            param["color"] = {"fn": uri, "color_space": "srgb"}
+        else:
+            param["color"] = list(base[:3])
+    else:
+        param["color"] = list(base[:3])
+    ntex = gm.get("normalTexture")
+    if ntex is not None:
+        src = doc["textures"][ntex["index"]].get("source")
+        uri = doc["images"][src].get("uri") if src is not None else None
+        if uri and not uri.startswith("data:"):
+            param["bump"] = {"fn": uri, "color_space": "linear"}
+            param["bump_scale"] = float(ntex.get("scale", 1.0))
+    desc = {"type": "principled_bsdf", "name": name, "param": param}
+    em = gm.get("emissiveFactor")
+    emission = None
+    if em and max(em) > 0:
+        emission = {"type": "area",
+                    "param": {"color": {"channels": "xyz", "node": list(em)},
+                              "scale": 1.0}}
+    return desc, emission
+
+
+def load_gltf_scene(path):
+    """Import a whole glTF file as a vision scene dict: per-primitive
+    shapes bound to mapped materials, punctual lights, the first camera."""
+    doc, _ = _load_gltf_json(path)
+    base_dir = os.path.dirname(os.path.abspath(path))
+    rel = os.path.basename(path)
+
+    materials, emissions = [], {}
+    for i in range(len(doc.get("materials", []))):
+        desc, em = _map_material(doc, i, base_dir)
+        materials.append(desc)
+        if em is not None:
+            emissions[desc["name"]] = em
+
+    shapes = []
+    lights = []
+    camera = None
+    ext_lights = doc.get("extensions", {}).get(
+        "KHR_lights_punctual", {}).get("lights", [])
+    for node_idx, m in _walk_nodes(doc):
+        nd = doc["nodes"][node_idx]
+        if "mesh" in nd:
+            mesh = doc["meshes"][nd["mesh"]]
+            for pi, pr in enumerate(mesh.get("primitives", [])):
+                if pr.get("mode", 4) != 4:
+                    continue
+                param = {"fn": rel, "gltf_node": node_idx, "gltf_prim": pi}
+                mi = pr.get("material")
+                if mi is not None:
+                    mname = materials[mi]["name"]
+                    param["material"] = mname
+                    if mname in emissions:
+                        param["emission"] = emissions[mname]
+                shapes.append({"type": "model",
+                               "name": f"{nd.get('name', node_idx)}_{pi}",
+                               "param": param})
+        li = nd.get("extensions", {}).get("KHR_lights_punctual", {})
+        if "light" in li and li["light"] < len(ext_lights):
+            gl = ext_lights[li["light"]]
+            color = [c * gl.get("intensity", 1.0)
+                     for c in gl.get("color", [1, 1, 1])]
+            pos = list(map(float, m[:3, 3]))
+            fwd = list(map(float, -m[:3, 2]))  # glTF lights point -z
+            if gl.get("type") == "directional":
+                lights.append({"type": "directional",
+                               "param": {"color": color, "direction": fwd}})
+            elif gl.get("type") == "spot":
+                ang = np.rad2deg(gl.get("spot", {}).get(
+                    "outerConeAngle", 0.785))
+                lights.append({"type": "spot",
+                               "param": {"color": color, "position": pos,
+                                         "direction": fwd, "angle": ang}})
+            else:
+                lights.append({"type": "point",
+                               "param": {"color": color, "position": pos}})
+        if camera is None and "camera" in nd:
+            gc = doc["cameras"][nd["camera"]]
+            persp = gc.get("perspective", {})
+            fov = np.rad2deg(persp.get("yfov", 0.7))
+            # glTF cameras look down -z; vision's forward is the +z column.
+            # Rotate 180 deg about y (keeps the frame right-handed).
+            ry = np.diag([-1.0, 1.0, -1.0, 1.0])
+            mv = np.asarray(m, np.float64) @ ry
+            camera = {"type": "pinhole", "param": {
+                "fov_y": float(fov),
+                "transform": {"type": "matrix4x4", "param": {
+                    "matrix4x4": mv.T.tolist()}},
+                "radiance_collector": {"param": {"resolution": [512, 512]}},
+            }}
+
+    scene = {"materials": materials, "shapes": shapes}
+    if lights:
+        scene["light_sampler"] = {"type": "uniform",
+                                  "param": {"lights": lights}}
+    if camera is not None:
+        scene["camera"] = camera
+    return scene

@@ -67,7 +67,14 @@ class Scene:
     def __init__(self, path_or_dict, scene_dir=None):
         if isinstance(path_or_dict, (str, os.PathLike)):
             self.scene_dir = scene_dir or os.path.dirname(os.path.abspath(path_or_dict))
-            raw = dsc.load_jsonc(path_or_dict)
+            p = os.fspath(path_or_dict)
+            if p.lower().endswith((".gltf", ".glb")):
+                # full-scene import: materials/lights/camera mapped from
+                # glTF (importers/assimp breadth; scene/gltf.py)
+                from .gltf import load_gltf_scene
+                raw = load_gltf_scene(p)
+            else:
+                raw = dsc.load_jsonc(p)
         else:
             self.scene_dir = scene_dir or "."
             raw = path_or_dict

@@ -214,8 +214,113 @@ def load_model(path, **kw):
         return load_obj(path, **kw)
     if ext in (".gltf", ".glb"):
         from .gltf import load_gltf
-        return load_gltf(path)
+        return load_gltf(path, node=kw.get("gltf_node"),
+                         prim=kw.get("gltf_prim"))
+    if ext == ".ply":
+        return load_ply(path)
     raise ValueError(f"unsupported mesh format: {ext}")
+
+
+def load_ply(path):
+    """PLY mesh loader (ascii + binary_little_endian), covering the format
+    breadth the reference gets from assimp (assimp_parser.h:36-60).
+    Reads vertex x/y/z (+nx/ny/nz, s/t|u/v when present) and face lists."""
+    _PLY_DT = {"char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+               "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+               "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+               "float": "f4", "float32": "f4", "double": "f8",
+               "float64": "f8"}
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"not a PLY file: {path}")
+        fmt = None
+        elements = []   # (name, count, [(prop_name, dtype)| list prop])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("unterminated PLY header")
+            parts = line.decode("ascii", "replace").strip().split()
+            if not parts or parts[0] == "comment":
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    elements[-1][2].append(
+                        ("list", _PLY_DT[parts[2]], _PLY_DT[parts[3]],
+                         parts[4]))
+                else:
+                    elements[-1][2].append(("scalar", _PLY_DT[parts[1]],
+                                            parts[2]))
+            elif parts[0] == "end_header":
+                break
+        data = {}
+        if fmt == "ascii":
+            for name, count, props in elements:
+                rows = []
+                for _ in range(count):
+                    rows.append(f.readline().split())
+                if any(p[0] == "list" for p in props):
+                    faces = []
+                    for r in rows:
+                        n = int(r[0])
+                        faces.append([int(v) for v in r[1:1 + n]])
+                    data[name] = ("faces", faces)
+                else:
+                    arr = np.array([[float(v) for v in r] for r in rows],
+                                   np.float32)
+                    data[name] = ("table", [p[2] for p in props], arr)
+        elif fmt == "binary_little_endian":
+            for name, count, props in elements:
+                if any(p[0] == "list" for p in props):
+                    faces = []
+                    lp = next(p for p in props if p[0] == "list")
+                    cdt = np.dtype("<" + lp[1])
+                    vdt = np.dtype("<" + lp[2])
+                    for _ in range(count):
+                        n = int(np.frombuffer(f.read(cdt.itemsize),
+                                              cdt)[0])
+                        faces.append(np.frombuffer(
+                            f.read(vdt.itemsize * n), vdt).tolist())
+                    data[name] = ("faces", faces)
+                else:
+                    dt = np.dtype([(p[2], "<" + p[1]) for p in props])
+                    raw = np.frombuffer(f.read(dt.itemsize * count), dt)
+                    arr = np.stack([raw[p[2]].astype(np.float32)
+                                    for p in props], -1)
+                    data[name] = ("table", [p[2] for p in props], arr)
+        else:
+            raise ValueError(f"unsupported PLY format: {fmt}")
+
+    kind, names, varr = data["vertex"][0], data["vertex"][1], data["vertex"][2]
+    col = {n: i for i, n in enumerate(names)}
+    P = np.stack([varr[:, col[c]] for c in ("x", "y", "z")], -1)
+    if all(c in col for c in ("nx", "ny", "nz")):
+        N = np.stack([varr[:, col[c]] for c in ("nx", "ny", "nz")], -1)
+    else:
+        N = np.zeros_like(P)
+    uv_names = ("s", "t") if "s" in col else ("u", "v")
+    if all(c in col for c in uv_names):
+        UV = np.stack([varr[:, col[c]] for c in uv_names], -1)
+    else:
+        UV = np.zeros((len(P), 2), np.float32)
+    faces = data.get("face", ("faces", []))[1]
+    tris = []
+    for fc in faces:
+        for k in range(1, len(fc) - 1):   # fan-triangulate
+            tris.append((fc[0], fc[k], fc[k + 1]))
+    T = np.asarray(tris, np.int32).reshape(-1, 3)
+    if not np.any(np.abs(N).sum(-1) > 0) and len(T):
+        p0, p1, p2 = P[T[:, 0]], P[T[:, 1]], P[T[:, 2]]
+        fn = np.cross(p1 - p0, p2 - p0)
+        N = np.zeros_like(P)
+        for k in range(3):
+            np.add.at(N, T[:, k], fn)
+        N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+    return TriMesh(P.astype(np.float32), N.astype(np.float32),
+                   UV.astype(np.float32), T)
 
 
 def make_shape(stype, params, scene_dir="."):
@@ -233,5 +338,7 @@ def make_shape(stype, params, scene_dir="."):
     if stype == "model":
         fn = params.get("fn")
         return load_model(os.path.join(scene_dir, fn),
-                          smooth=params.get("smooth", True))
+                          smooth=params.get("smooth", True),
+                          gltf_node=params.get("gltf_node"),
+                          gltf_prim=params.get("gltf_prim"))
     raise ValueError(f"unknown shape type: {stype}")
