@@ -193,7 +193,9 @@ def load_obj(path, smooth=True):
 
 def load_model(path, **kw):
     """Dispatch by extension: OBJ (native C++ parser when built, Python
-    fallback), glTF/GLB."""
+    fallback), glTF/GLB, PLY."""
+    gltf_node = kw.pop("gltf_node", None)
+    gltf_prim = kw.pop("gltf_prim", None)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         try:
@@ -214,8 +216,7 @@ def load_model(path, **kw):
         return load_obj(path, **kw)
     if ext in (".gltf", ".glb"):
         from .gltf import load_gltf
-        return load_gltf(path, node=kw.get("gltf_node"),
-                         prim=kw.get("gltf_prim"))
+        return load_gltf(path, node=gltf_node, prim=gltf_prim)
     if ext == ".ply":
         return load_ply(path)
     raise ValueError(f"unsupported mesh format: {ext}")
