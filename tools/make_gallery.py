@@ -62,12 +62,17 @@ def main():
                             sc.max_depth, sc.min_depth, jnp.float32(1.0))
     img_t = np.asarray(img_t)
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        sc_cpu = Scene(s)
-        img_c, _ = _render_pass(sc_cpu.data, sc_cpu.camera, sc_cpu.filter,
-                                jnp.uint32(0), sc_cpu.max_depth,
-                                sc_cpu.min_depth, jnp.float32(1.0))
-        img_c = np.asarray(img_c)
+    os.environ["VT_USE_PALLAS_ISECT"] = "0"  # pallas can't lower on CPU
+    try:
+        with jax.default_device(cpu):
+            sc_cpu = Scene(s)
+            img_c, _ = _render_pass(sc_cpu.data, sc_cpu.camera,
+                                    sc_cpu.filter, jnp.uint32(0),
+                                    sc_cpu.max_depth, sc_cpu.min_depth,
+                                    jnp.float32(1.0))
+            img_c = np.asarray(img_c)
+    finally:
+        del os.environ["VT_USE_PALLAS_ISECT"]
     diff = np.abs(img_t - img_c)
     frac_close = float((diff < 1e-3).mean())
     report["cpu_tpu_consistency"] = {
@@ -109,6 +114,13 @@ def main():
 
     # 5. mesh-heavy scene through the BVH (cbox.json, 14k tris)
     do("cbox_meshes_128spp", f"{REF}/cbox/cbox.json", 128, res=384)
+
+    # 6. large scenes through the SAH packet BVH (ladder configs 4/5)
+    do("staircase_512_64spp", f"{REF}/staircase/vision_scene.json", 64,
+       res=512)
+    do("classroom_512_64spp", f"{REF}/classroom/vision_scene.json", 64,
+       res=512)
+    do("prism_hero_256_128spp", f"{REF}/cbox/cbox-prism.json", 128, res=256)
 
     with open(os.path.join(OUT, "report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -37,8 +37,12 @@ def _wave_pass(scene_data, camera, filt, frame0, spp, max_depth, min_depth,
 
 
 # samples folded into one on-device regeneration wavefront per host step;
-# bounds while-loop length (and recompiles) while keeping lanes ~100% busy
+# bounds while-loop length (and recompiles) while keeping lanes ~100% busy.
+# BVH scenes take a smaller chunk: a single launch that runs for minutes
+# (packet traversal at ~1 Mrays/s on a 262k-tri scene at 512^2) trips the
+# TPU watchdog with a device fault, so keep each launch well under a minute
 WAVE_CHUNK = 32
+WAVE_CHUNK_BVH = 4
 
 
 def render(scene, spp=None, verbose=False, adaptive=False):
@@ -55,10 +59,11 @@ def render(scene, spp=None, verbose=False, adaptive=False):
     if adaptive:
         img, _ = render_adaptive(scene, spp, verbose)
         return img
+    chunk = WAVE_CHUNK_BVH if getattr(scene, "use_bvh", False) else WAVE_CHUNK
     accum = None
     done = 0
     while done < spp:
-        n = min(WAVE_CHUNK, spp - done)
+        n = min(chunk, spp - done)
         img, _ = _wave_pass(scene.data, scene.camera, scene.filter,
                             jnp.uint32(done), n, scene.max_depth,
                             scene.min_depth, jnp.float32(scene.rr_threshold))
