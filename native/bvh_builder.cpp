@@ -7,11 +7,21 @@
 //
 // Output layout (DFS order, stackless skip-link traversal):
 //   nodes: lo[3] hi[3] (f32), first (i32: child id if inner, tri start if
-//   leaf), count (i32: 0 inner, else #tris), skip (i32 DFS miss link, -1 end)
+//   leaf), count (i32: 0 inner, else #tris), skip (i32 DFS miss link, -1 end),
+//   axis (i32: split axis 0/1/2 for inner nodes, -1 for leaves)
 //   order: i32 triangle permutation (leaf ranges are contiguous in `order`)
 //
 // Standard binned SAH: 16 bins on the centroid extent's longest axis,
 // leaf <= max_leaf prims, full-sweep SAH cost with surface-area heuristic.
+//
+// Two invariants the Pallas packet traversal relies on
+// (vision_tpu/accel/packet_bvh.py):
+//   * the LEFT child always covers the LOWER side of the split axis, so a
+//     ray block whose direction is positive along `axis` traverses
+//     front-to-back by visiting left first (and right first otherwise);
+//   * tree depth is bounded (< kMaxDepth + log2(n)): past kMaxDepth the
+//     builder forces median splits, so the kernel's fixed SMEM stack
+//     cannot overflow.
 
 #include <algorithm>
 #include <cmath>
@@ -52,6 +62,7 @@ struct Node {
 };
 
 constexpr int kBins = 16;
+constexpr int kMaxDepth = 48;  // force median splits past this depth
 
 struct Builder {
   const AABB* prim_box;
@@ -59,18 +70,34 @@ struct Builder {
   std::vector<int32_t> idx;
   std::vector<Node> nodes;
   std::vector<int32_t> sub_end;  // [node] preorder index just past subtree
+  std::vector<int32_t> axes;     // [node] split axis (inner) or -1 (leaf)
   int max_leaf;
 
-  // Choose the split point for [begin, end). Returns mid.
+  // Spatially-ordered median split along `axis`: left half = lower
+  // centroids. Used for degenerate/fallback splits so the left-is-lower
+  // invariant holds on every inner node.
+  int32_t median(int32_t begin, int32_t end, int axis) {
+    int32_t mid = begin + (end - begin) / 2;
+    std::nth_element(idx.begin() + begin, idx.begin() + mid,
+                     idx.begin() + end, [&](int32_t a, int32_t b) {
+                       return cent[3 * a + axis] < cent[3 * b + axis];
+                     });
+    return mid;
+  }
+
+  // Choose the split point for [begin, end). Returns mid; writes the split
+  // axis to *out_axis.
   int32_t split(int32_t begin, int32_t end, const AABB& box,
-                const AABB& cbox) {
+                const AABB& cbox, int depth, int* out_axis) {
     int32_t n = end - begin;
     int axis = 0;
     float ext[3];
     for (int i = 0; i < 3; ++i) ext[i] = cbox.hi[i] - cbox.lo[i];
     if (ext[1] > ext[axis]) axis = 1;
     if (ext[2] > ext[axis]) axis = 2;
-    if (ext[axis] <= 1e-12f) return begin + n / 2;  // degenerate: median
+    *out_axis = axis;
+    if (ext[axis] <= 1e-12f || depth >= kMaxDepth)
+      return median(begin, end, axis);
     float scale = kBins / ext[axis];
     float base = cbox.lo[axis];
     AABB bbox[kBins];
@@ -106,8 +133,8 @@ struct Builder {
     }
     if (best_b < 0 || best_cost >= box.area() * n) {
       // SAH prefers a leaf, but the fixed max_leaf-slot leaf layout forbids
-      // oversized leaves: fall back to a median split.
-      return begin + n / 2;
+      // oversized leaves: fall back to a (spatially ordered) median split.
+      return median(begin, end, axis);
     }
     auto it = std::partition(
         idx.begin() + begin, idx.begin() + end, [&](int32_t p) {
@@ -116,7 +143,7 @@ struct Builder {
           return b <= best_b;
         });
     int32_t mid = (int32_t)(it - idx.begin());
-    if (mid == begin || mid == end) mid = begin + n / 2;
+    if (mid == begin || mid == end) mid = median(begin, end, axis);
     return mid;
   }
 
@@ -126,15 +153,17 @@ struct Builder {
     struct Frame {
       int32_t begin, end, me, mid;
       int stage;  // 0 = create node, 1 = left done, 2 = right done
+      int depth;
     };
     std::vector<Frame> st;
-    st.push_back({0, (int32_t)idx.size(), -1, 0, 0});
+    st.push_back({0, (int32_t)idx.size(), -1, 0, 0, 0});
     while (!st.empty()) {
       Frame& f = st.back();
       if (f.stage == 0) {
         f.me = (int32_t)nodes.size();
         nodes.emplace_back();
         sub_end.push_back(-1);
+        axes.push_back(-1);
         AABB box, cbox;
         for (int32_t i = f.begin; i < f.end; ++i) {
           box.grow(prim_box[idx[i]]);
@@ -151,12 +180,14 @@ struct Builder {
         }
         // preorder: left child is emitted immediately after this node
         nodes[f.me].first = f.me + 1;
-        f.mid = split(f.begin, f.end, box, cbox);
+        int ax = 0;
+        f.mid = split(f.begin, f.end, box, cbox, f.depth, &ax);
+        axes[f.me] = ax;
         f.stage = 1;
-        st.push_back({f.begin, f.mid, -1, 0, 0});
+        st.push_back({f.begin, f.mid, -1, 0, 0, f.depth + 1});
       } else if (f.stage == 1) {
         f.stage = 2;
-        st.push_back({f.mid, f.end, -1, 0, 0});
+        st.push_back({f.mid, f.end, -1, 0, 0, f.depth + 1});
       } else {
         sub_end[f.me] = (int32_t)nodes.size();
         st.pop_back();
@@ -193,7 +224,8 @@ extern "C" {
 int64_t vt_build_bvh(const float* p0, const float* p1, const float* p2,
                      int64_t n, int32_t max_leaf, float* out_lo,
                      float* out_hi, int32_t* out_first, int32_t* out_count,
-                     int32_t* out_skip, int32_t* out_order) {
+                     int32_t* out_skip, int32_t* out_order,
+                     int32_t* out_axis) {
   if (n <= 0) return 0;
   std::vector<AABB> boxes(n);
   std::vector<float> cent(3 * n);
@@ -221,6 +253,7 @@ int64_t vt_build_bvh(const float* p0, const float* p1, const float* p2,
     out_first[i] = b.nodes[i].first;
     out_count[i] = b.nodes[i].count;
     out_skip[i] = b.nodes[i].skip;
+    out_axis[i] = b.axes[i];
   }
   std::memcpy(out_order, b.idx.data(), n * 4);
   return nn;

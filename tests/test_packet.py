@@ -82,11 +82,14 @@ def test_scene_builds_packet_and_renders_through_it():
                 "type": "quad",
                 "param": {
                     "width": 0.4, "height": 0.4, "material": "white",
+                    # row-vector convention: from_json transposes, so the
+                    # translation lives in the 4th ROW (core/transform.py)
                     "transform": {"type": "matrix4x4", "param": {"matrix4x4": [
-                        [1, 0, 0, -3.0 + i * 0.25],
-                        [0, 1, 0, 0.2 + j * 0.22],
-                        [0, 0, 1, 2.0 + 0.002 * (i * G + j)],
-                        [0, 0, 0, 1]]}},
+                        [1, 0, 0, 0],
+                        [0, 1, 0, 0],
+                        [0, 0, 1, 0],
+                        [-3.0 + i * 0.25, 0.2 + j * 0.22,
+                         2.0 + 0.002 * (i * G + j), 1]]}},
                 },
             })
     s["shapes"] = s["shapes"] + quads

@@ -10,23 +10,35 @@ measured facts on v5e that rule the design:
     traversal is therefore capped at ~0.1 Mrays/s — dead on arrival.
     ALL data movement here is dense.
   * rays are processed in BLOCKS of RT lanes (one grid program per
-    block); a block shares ONE traversal: a scalar skip-link walk over
-    the tree in scalar registers + SMEM (node AABBs and links are
-    scalar-prefetch arrays). A traversal step costs ~tens of scalar
-    cycles plus one fused (1, RT) slab test on the VPU — no gathers.
+    block); a block shares ONE traversal walked in scalar registers +
+    SMEM (node AABBs and links are scalar-prefetch arrays). A traversal
+    step tests BOTH children of an inner node in one fused (2, RT) slab
+    test on the VPU — two nodes per scalar readback, no gathers.
+  * the walk is ORDERED front-to-back: the builder stores each inner
+    node's split axis and guarantees the left child covers the lower
+    side, so the near child for this block (by majority direction sign)
+    is descended first and the far child goes on a SMEM stack. `best_t`
+    tightens early and culls the far subtrees wholesale — the fixed
+    DFS-preorder skip walk of round 4 could not do this (its `best_t`
+    shrank in build order, visiting ~2x the bricks).
   * a leaf (brick of <= BRICK triangles) is visited only if ANY ray in
     the block hits its AABB closer than its current best t; its
     triangles are then DMA'd HBM->VMEM and swept densely through
     Möller-Trumbore in (TSUB, RT) chunks — full VPU lanes, zero
-    irregular access.
+    irregular access. Brick DMA is DOUBLE-BUFFERED: the sweep of brick i
+    overlaps the DMA of brick i+1 (two VMEM scratch slots + a DMA
+    semaphore pair), hiding the HBM latency behind VPU work.
   * tree quality decides everything: with Morton-chunk bricks under a
     balanced heap, leaf AABBs overlap so badly that a block visited
     ~4100 of 8192 bricks even for a coherent 32x32 pixel tile
     (measured). The tree is therefore the native binned-SAH build
-    (native/bvh_builder.cpp) with leaves <= BRICK tris, laid out in DFS
-    preorder: hit an inner node -> descend to node+1; miss -> skip[node].
-  * the renderer maps lanes to Morton/tile pixel order so blocks are
-    ~32x32 pixel tiles (coherent frusta), see pt.render_wave.
+    (native/bvh_builder.cpp) with leaves <= BRICK tris.
+  * blocks only help when their rays share a frustum: the renderer maps
+    primary lanes to Morton/tile pixel order AND re-bins the live
+    wavefront by (position-morton, direction-octant) before every trace
+    (pt._rebin_key), so secondary bounces keep coherent blocks too.
+    Fully-dead lanes sort to the tail with t_max=0 and their blocks
+    exit after one step — compaction without dynamic shapes.
 
 The two-level structure (scalar SAH walk + dense brick sweeps) is the
 TPU analog of RT-core traversal: the hierarchy culls in scalar space,
@@ -51,12 +63,15 @@ _BIG = 3e38
 RT = 1024       # rays per block (lanes)
 BRICK = 64      # max triangles per leaf brick
 TSUB = 8        # triangles per MT chunk (sublanes)
+STACK = 160     # SMEM far-child stack; builder caps depth at 48+log2(n)
 
 
 @struct.dataclass
 class PacketBVH:
-    skip: jnp.ndarray        # [n_nodes] i32 DFS miss link (-1 done)
-    brick: jnp.ndarray       # [n_nodes] i32 brick id if leaf else -1
+    skip: jnp.ndarray        # [n_nodes] i32 DFS miss link (-1 done);
+                             # right child of inner i == skip[i+1]
+    brick: jnp.ndarray       # [n_nodes] i32: leaf -> brick id (>=0),
+                             # inner -> -(split_axis+1) in {-1,-2,-3}
     lo_x: jnp.ndarray        # [n_nodes] f32 node AABB (6 component arrays)
     lo_y: jnp.ndarray
     lo_z: jnp.ndarray
@@ -72,9 +87,9 @@ class PacketBVH:
 
 def build_packet_bvh(p0, p1, p2, brick=BRICK):
     """Host build via the native binned-SAH builder: DFS-preorder tree with
-    skip links, leaves <= `brick` tris padded to fixed `brick` slots.
-    Returns PacketBVH, or None when the native library is unavailable
-    (callers fall back to the XLA skip-link walk)."""
+    skip links + per-node split axes, leaves <= `brick` tris padded to fixed
+    `brick` slots. Returns PacketBVH, or None when the native library is
+    unavailable (callers fall back to the XLA skip-link walk)."""
     from .. import native
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
@@ -86,11 +101,17 @@ def build_packet_bvh(p0, p1, p2, brick=BRICK):
     first = r["first"].astype(np.int64)
     count = r["count"].astype(np.int64)
     order = r["order"].astype(np.int64)
+    axis = r["axis"].astype(np.int64)
     n_nodes = len(first)
 
     leaves = np.nonzero(count > 0)[0]
     n_bricks = max(1, len(leaves))
-    brick_of_node = np.full(n_nodes, -1, np.int64)
+    # the closest-hit kernel carries the winning slot id as f32: exact only
+    # below 2^24 (the deleted sah.py had the same bound)
+    assert n_bricks * brick < (1 << 24), (
+        f"brick slot ids ({n_bricks * brick}) exceed f32 exact-int range")
+    # leaf -> brick id; inner -> -(axis+1) so one array carries both
+    brick_of_node = -(axis + 1)
     brick_of_node[leaves] = np.arange(len(leaves))
 
     # brick triangle table: brick b slot k <- sorted tri first[leaf]+k
@@ -136,25 +157,25 @@ def _ray_rows(rays_ref):
     return ox, oy, oz, dx, dy, dz, rcp(dx), rcp(dy), rcp(dz), tmax
 
 
-def _slab(o_i, inv, lo, hi):
-    a = (lo - o_i) * inv
-    b = (hi - o_i) * inv
-    return jnp.minimum(a, b), jnp.maximum(a, b)
+def _pair(a, b):
+    """Two SMEM scalars -> a (2, 1) vector (for both-children slab math)."""
+    return jnp.concatenate([jnp.full((1, 1), a, jnp.float32),
+                            jnp.full((1, 1), b, jnp.float32)], axis=0)
 
 
-def _mt_scr(tri_ref, k, ox, oy, oz, dx, dy, dz):
-    """MT sweep of chunk k (TSUB tris) from the VMEM brick scratch vs all
-    rays of this block. Mirrors pallas_isect._mt_chunk."""
-    row = pl.ds(pl.multiple_of(k * TSUB, TSUB), TSUB)
-    p0x = tri_ref[row, 0:1]
-    p0y = tri_ref[row, 1:2]
-    p0z = tri_ref[row, 2:3]
-    e1x = tri_ref[row, 3:4]
-    e1y = tri_ref[row, 4:5]
-    e1z = tri_ref[row, 5:6]
-    e2x = tri_ref[row, 6:7]
-    e2y = tri_ref[row, 7:8]
-    e2z = tri_ref[row, 8:9]
+def _mt_rows(tri_scr, row, ox, oy, oz, dx, dy, dz):
+    """MT sweep of TSUB triangles starting at scratch row `row` vs all rays
+    of this block."""
+    sl = pl.ds(pl.multiple_of(row, TSUB), TSUB)
+    p0x = tri_scr[sl, 0:1]
+    p0y = tri_scr[sl, 1:2]
+    p0z = tri_scr[sl, 2:3]
+    e1x = tri_scr[sl, 3:4]
+    e1y = tri_scr[sl, 4:5]
+    e1z = tri_scr[sl, 5:6]
+    e2x = tri_scr[sl, 6:7]
+    e2y = tri_scr[sl, 7:8]
+    e2z = tri_scr[sl, 8:9]
 
     pvx = dy * e2z - dz * e2y
     pvy = dz * e2x - dx * e2z
@@ -180,78 +201,151 @@ def _mt_scr(tri_ref, k, ox, oy, oz, dx, dy, dz):
     return t, u, v, ok
 
 
+def _slab2(l, r, lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+           ox, oy, oz, ix, iy, iz):
+    """Fused slab test of BOTH children (rows: [left, right]) -> (2, RT)
+    (tnear, tfar). One VPU pass for two nodes."""
+    def ax(lo_ref, hi_ref, o, inv):
+        lo = _pair(lo_ref[l], lo_ref[r])
+        hi = _pair(hi_ref[l], hi_ref[r])
+        a = (lo - o) * inv
+        b = (hi - o) * inv
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+    nx, fx = ax(lox_ref, hix_ref, ox, ix)
+    ny, fy = ax(loy_ref, hiy_ref, oy, iy)
+    nz, fz = ax(loz_ref, hiz_ref, oz, iz)
+    tnear = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, 0.0))
+    tfar = jnp.minimum(jnp.minimum(fx, fy), fz)
+    return tnear, tfar
+
+
+def _any_row(mask2, row):
+    """Scalar: does any lane of row `row` of a (2, RT) mask hold?"""
+    return jnp.max(jnp.where(mask2[row:row + 1, :], 1.0, 0.0)) > 0.5
+
+
 def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
                     loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
-                    out_ref, best_ref, tri_scr, sem):
+                    out_ref, best_ref, stack_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
     best_ref[0:1, :] = tmax
     best_ref[1:2, :] = jnp.full((1, RT), -1.0)
     best_ref[2:4, :] = jnp.zeros((2, RT))
+    # majority direction sign per axis: picks the near child for the block
+    sx = jnp.sum(dx) >= 0.0
+    sy = jnp.sum(dy) >= 0.0
+    sz = jnp.sum(dz) >= 0.0
+    any_live = jnp.max(tmax) > 0.0
+
+    def dma(slot, brick_id):
+        return pltpu.make_async_copy(
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
+                              BRICK), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            sem.at[slot])
+
+    def sweep(slot, brick_id):
+        dma(slot, brick_id).wait()
+        c0 = best_ref[0:1, :]
+        c1 = best_ref[1:2, :]
+        c2 = best_ref[2:3, :]
+        c3 = best_ref[3:4, :]
+
+        def chunk(k, carry):
+            bt_, bi_, bu_, bv_ = carry
+            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+                                   ox, oy, oz, dx, dy, dz)
+            t = jnp.where(ok, t, _BIG)
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            gid = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                   + (brick_id * BRICK + k * TSUB)).astype(jnp.float32)
+            imin = jnp.min(jnp.where(t == tmin, gid, _BIG), axis=0,
+                           keepdims=True)
+            sel = (t == tmin) & (gid == imin)
+            usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+            vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+            better = tmin < bt_
+            return (jnp.where(better, tmin, bt_),
+                    jnp.where(better, imin, bi_),
+                    jnp.where(better, usel, bu_),
+                    jnp.where(better, vsel, bv_))
+
+        c0, c1, c2, c3 = jax.lax.fori_loop(
+            0, BRICK // TSUB, chunk, (c0, c1, c2, c3))
+        best_ref[0:1, :] = c0
+        best_ref[1:2, :] = c1
+        best_ref[2:3, :] = c2
+        best_ref[3:4, :] = c3
+
+    def enqueue(cond, brick_id, pend, buf, leaves):
+        """Start the brick's DMA into slot `buf`, sweep the previously
+        pending brick (whose DMA has been in flight) from the other slot."""
+        @pl.when(cond)
+        def _():
+            dma(buf, brick_id).start()
+
+            @pl.when(pend >= 0)
+            def _():
+                sweep(1 - buf, pend)
+        return (jnp.where(cond, brick_id, pend),
+                jnp.where(cond, 1 - buf, buf),
+                leaves + cond.astype(jnp.int32))
 
     def body(carry):
-        node, steps, leaves = carry
-        lo0 = lox_ref[node]
-        lo1 = loy_ref[node]
-        lo2 = loz_ref[node]
-        hi0 = hix_ref[node]
-        hi1 = hiy_ref[node]
-        hi2 = hiz_ref[node]
-        n0x, f0x = _slab(ox, ix, lo0, hi0)
-        n0y, f0y = _slab(oy, iy, lo1, hi1)
-        n0z, f0z = _slab(oz, iz, lo2, hi2)
-        tnear = jnp.maximum(jnp.maximum(n0x, n0y), jnp.maximum(n0z, 0.0))
-        tfar = jnp.minimum(jnp.minimum(f0x, f0y), f0z)
-        bt = best_ref[0:1, :]
-        box_hit = jnp.max(jnp.where((tfar >= tnear) & (tnear < bt),
-                                    1.0, 0.0)) > 0.5
-        brick = brick_ref[node]
-        is_leaf = brick >= 0
+        node, sp, pend, buf, steps, leaves = carry
+        ax = -1 - brick_ref[node]          # parent split axis
+        l = node + 1
+        r = skip_ref[l]                    # right child follows left subtree
+        bl = brick_ref[l]
+        br = brick_ref[r]
+        tnear, tfar = _slab2(l, r, lox_ref, loy_ref, loz_ref,
+                             hix_ref, hiy_ref, hiz_ref, ox, oy, oz,
+                             ix, iy, iz)
+        hitm = (tfar >= tnear) & (tnear < best_ref[0:1, :])
+        hitL = _any_row(hitm, 0)
+        hitR = _any_row(hitm, 1)
+        leafL = bl >= 0
+        leafR = br >= 0
 
-        @pl.when(box_hit & is_leaf)
+        pend, buf, leaves = enqueue(hitL & leafL, bl, pend, buf, leaves)
+        pend, buf, leaves = enqueue(hitR & leafR, br, pend, buf, leaves)
+
+        dL = hitL & jnp.logical_not(leafL)
+        dR = hitR & jnp.logical_not(leafR)
+        # near child first (front-to-back): positive block direction along
+        # the split axis -> left (lower side) first
+        near_l = jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+        goN = jnp.where(near_l, l, r)
+        goF = jnp.where(near_l, r, l)
+        dN = jnp.where(near_l, dL, dR)
+        dF = jnp.where(near_l, dR, dL)
+        both = dN & dF
+
+        @pl.when(both)
         def _():
-            cp = pltpu.make_async_copy(
-                tris_ref.at[pl.ds(pl.multiple_of(brick * BRICK, BRICK),
-                                  BRICK), :], tri_scr, sem)
-            cp.start()
-            cp.wait()
-            c0 = best_ref[0:1, :]
-            c1 = best_ref[1:2, :]
-            c2 = best_ref[2:3, :]
-            c3 = best_ref[3:4, :]
+            stack_ref[sp] = goF
 
-            def chunk(k, carry):
-                bt_, bi_, bu_, bv_ = carry
-                t, u, v, ok = _mt_scr(tri_scr, k, ox, oy, oz, dx, dy, dz)
-                t = jnp.where(ok, t, _BIG)
-                tmin = jnp.min(t, axis=0, keepdims=True)
-                gid = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                       + (brick * BRICK + k * TSUB)).astype(jnp.float32)
-                imin = jnp.min(jnp.where(t == tmin, gid, _BIG), axis=0,
-                               keepdims=True)
-                sel = (t == tmin) & (gid == imin)
-                usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-                vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-                better = tmin < bt_
-                return (jnp.where(better, tmin, bt_),
-                        jnp.where(better, imin, bi_),
-                        jnp.where(better, usel, bu_),
-                        jnp.where(better, vsel, bv_))
+        sp2 = sp + both.astype(jnp.int32)
+        desc = dN | dF
+        popped = stack_ref[jnp.maximum(sp2 - 1, 0)]
+        nxt = jnp.where(desc, jnp.where(dN, goN, goF),
+                        jnp.where(sp2 > 0, popped, -1))
+        sp3 = jnp.where(desc, sp2, jnp.maximum(sp2 - 1, 0))
+        return nxt, sp3, pend, buf, steps + 1, leaves
 
-            c0, c1, c2, c3 = jax.lax.fori_loop(
-                0, BRICK // TSUB, chunk, (c0, c1, c2, c3))
-            best_ref[0:1, :] = c0
-            best_ref[1:2, :] = c1
-            best_ref[2:3, :] = c2
-            best_ref[3:4, :] = c3
+    # root: a leaf root is swept directly; otherwise expand from node 0
+    root_leaf = brick_ref[0] >= 0
+    pend0, buf0, leaves0 = enqueue(any_live & root_leaf, brick_ref[0],
+                                   jnp.int32(-1), jnp.int32(0), jnp.int32(0))
+    node0 = jnp.where(any_live & jnp.logical_not(root_leaf), 0, -1)
+    _, _, pend, buf, steps, leaves = jax.lax.while_loop(
+        lambda c: (c[0] >= 0) & (c[4] < max_steps), body,
+        (node0, jnp.int32(0), pend0, buf0, jnp.int32(0), leaves0))
 
-        nxt = jnp.where(box_hit & jnp.logical_not(is_leaf),
-                        node + 1, skip_ref[node])
-        return (nxt, steps + 1,
-                leaves + jnp.where(box_hit & is_leaf, 1, 0))
+    @pl.when(pend >= 0)
+    def _():
+        sweep(1 - buf, pend)
 
-    _, steps, leaves = jax.lax.while_loop(
-        lambda c: (c[0] >= 0) & (c[1] < max_steps), body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
     out_ref[0:4, :] = best_ref[0:4, :]
     out_ref[4:5, :] = jnp.full((1, RT), 1.0) * steps.astype(jnp.float32)
     out_ref[5:6, :] = jnp.full((1, RT), 1.0) * leaves.astype(jnp.float32)
@@ -260,57 +354,110 @@ def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
 
 def _anyhit_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
                    loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
-                   out_ref, occ_ref, tri_scr, sem):
+                   out_ref, occ_ref, stack_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
     occ_ref[0:1, :] = jnp.zeros((1, RT))
+    dead = jnp.where(tmax <= 0.0, 1.0, 0.0)
+    sx = jnp.sum(dx) >= 0.0
+    sy = jnp.sum(dy) >= 0.0
+    sz = jnp.sum(dz) >= 0.0
+    any_live = jnp.max(tmax) > 0.0
+
+    def dma(slot, brick_id):
+        return pltpu.make_async_copy(
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
+                              BRICK), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            sem.at[slot])
+
+    def sweep(slot, brick_id):
+        dma(slot, brick_id).wait()
+
+        def chunk(k, o):
+            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+                                   ox, oy, oz, dx, dy, dz)
+            hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
+                          axis=0, keepdims=True)
+            return jnp.maximum(o, hit)
+
+        occ_ref[0:1, :] = jax.lax.fori_loop(
+            0, BRICK // TSUB, chunk, occ_ref[0:1, :])
+
+    def enqueue(cond, brick_id, pend, buf, leaves):
+        @pl.when(cond)
+        def _():
+            dma(buf, brick_id).start()
+
+            @pl.when(pend >= 0)
+            def _():
+                sweep(1 - buf, pend)
+        return (jnp.where(cond, brick_id, pend),
+                jnp.where(cond, 1 - buf, buf),
+                leaves + cond.astype(jnp.int32))
 
     def body(carry):
-        node, steps = carry
-        lo0 = lox_ref[node]
-        lo1 = loy_ref[node]
-        lo2 = loz_ref[node]
-        hi0 = hix_ref[node]
-        hi1 = hiy_ref[node]
-        hi2 = hiz_ref[node]
-        n0x, f0x = _slab(ox, ix, lo0, hi0)
-        n0y, f0y = _slab(oy, iy, lo1, hi1)
-        n0z, f0z = _slab(oz, iz, lo2, hi2)
-        tnear = jnp.maximum(jnp.maximum(n0x, n0y), jnp.maximum(n0z, 0.0))
-        tfar = jnp.minimum(jnp.minimum(f0x, f0y), f0z)
-        occ = occ_ref[0:1, :]
-        live = (tfar >= tnear) & (tnear < tmax) & (occ < 0.5)
-        box_hit = jnp.max(jnp.where(live, 1.0, 0.0)) > 0.5
-        brick = brick_ref[node]
-        is_leaf = brick >= 0
+        node, sp, pend, buf, steps, leaves = carry
+        ax = -1 - brick_ref[node]
+        l = node + 1
+        r = skip_ref[l]
+        bl = brick_ref[l]
+        br = brick_ref[r]
+        tnear, tfar = _slab2(l, r, lox_ref, loy_ref, loz_ref,
+                             hix_ref, hiy_ref, hiz_ref, ox, oy, oz,
+                             ix, iy, iz)
+        live = (occ_ref[0:1, :] < 0.5) & (tmax > 0.0)
+        hitm = (tfar >= tnear) & (tnear < tmax) & live
+        hitL = _any_row(hitm, 0)
+        hitR = _any_row(hitm, 1)
+        leafL = bl >= 0
+        leafR = br >= 0
 
-        @pl.when(box_hit & is_leaf)
+        did = (hitL & leafL) | (hitR & leafR)
+        pend, buf, leaves = enqueue(hitL & leafL, bl, pend, buf, leaves)
+        pend, buf, leaves = enqueue(hitR & leafR, br, pend, buf, leaves)
+
+        dL = hitL & jnp.logical_not(leafL)
+        dR = hitR & jnp.logical_not(leafR)
+        near_l = jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+        goN = jnp.where(near_l, l, r)
+        goF = jnp.where(near_l, r, l)
+        dN = jnp.where(near_l, dL, dR)
+        dF = jnp.where(near_l, dR, dL)
+        both = dN & dF
+
+        @pl.when(both)
         def _():
-            cp = pltpu.make_async_copy(
-                tris_ref.at[pl.ds(pl.multiple_of(brick * BRICK, BRICK),
-                                  BRICK), :], tri_scr, sem)
-            cp.start()
-            cp.wait()
+            stack_ref[sp] = goF
 
-            def chunk(k, o):
-                t, u, v, ok = _mt_scr(tri_scr, k, ox, oy, oz, dx, dy, dz)
-                hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
-                              axis=0, keepdims=True)
-                return jnp.maximum(o, hit)
+        sp2 = sp + both.astype(jnp.int32)
+        desc = dN | dF
+        popped = stack_ref[jnp.maximum(sp2 - 1, 0)]
+        nxt = jnp.where(desc, jnp.where(dN, goN, goF),
+                        jnp.where(sp2 > 0, popped, -1))
+        sp3 = jnp.where(desc, sp2, jnp.maximum(sp2 - 1, 0))
+        # early out once every live lane is occluded (sweeps lag one leaf,
+        # so this fires a step late — still saves the remaining walk)
+        all_occ = did & (jnp.min(jnp.maximum(occ_ref[0:1, :], dead)) > 0.5)
+        nxt = jnp.where(all_occ, -1, nxt)
+        return nxt, sp3, pend, buf, steps + 1, leaves
 
-            occ_ref[0:1, :] = jax.lax.fori_loop(
-                0, BRICK // TSUB, chunk, occ_ref[0:1, :])
+    root_leaf = brick_ref[0] >= 0
+    pend0, buf0, leaves0 = enqueue(any_live & root_leaf, brick_ref[0],
+                                   jnp.int32(-1), jnp.int32(0), jnp.int32(0))
+    node0 = jnp.where(any_live & jnp.logical_not(root_leaf), 0, -1)
+    _, _, pend, buf, steps, leaves = jax.lax.while_loop(
+        lambda c: (c[0] >= 0) & (c[4] < max_steps), body,
+        (node0, jnp.int32(0), pend0, buf0, jnp.int32(0), leaves0))
 
-        # early out once every lane is occluded
-        all_occ = jnp.min(occ_ref[0:1, :]) > 0.5
-        nxt = jnp.where(all_occ, -1,
-                        jnp.where(box_hit & jnp.logical_not(is_leaf),
-                                  node + 1, skip_ref[node]))
-        return (nxt, steps + 1)
+    @pl.when(pend >= 0)
+    def _():
+        sweep(1 - buf, pend)
 
-    jax.lax.while_loop(lambda c: (c[0] >= 0) & (c[1] < max_steps), body,
-                       (jnp.int32(0), jnp.int32(0)))
     out_ref[0:1, :] = occ_ref[0:1, :]
-    out_ref[1:8, :] = jnp.zeros((7, RT))
+    out_ref[4:5, :] = jnp.full((1, RT), 1.0) * steps.astype(jnp.float32)
+    out_ref[5:6, :] = jnp.full((1, RT), 1.0) * leaves.astype(jnp.float32)
+    out_ref[1:4, :] = jnp.zeros((3, RT))
+    out_ref[6:8, :] = jnp.zeros((2, RT))
 
 
 def _round_up(x, m):
@@ -322,10 +469,10 @@ def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
          any_hit, interpret):
     Rp = rays.shape[1]
     n_nodes = skip.shape[0]
-    # hard bound: a full DFS visits every node at most once per branch
-    # direction; 4x slack. Guarantees the device loop terminates even if a
-    # predicate miscompiles (a wedged chip takes the whole host down).
-    max_steps = 4 * n_nodes + 64
+    # hard bound: the ordered walk expands each inner node at most once;
+    # 2x slack. Guarantees the device loop terminates even if a predicate
+    # miscompiles (a wedged chip takes the whole host down).
+    max_steps = 2 * n_nodes + 64
     kern = _anyhit_kernel if any_hit else _closest_kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -333,14 +480,15 @@ def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
         in_specs=[
             pl.BlockSpec((8, RT), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((8, RT), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, RT), jnp.float32),
-            pltpu.VMEM((BRICK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.VMEM((2 * BRICK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

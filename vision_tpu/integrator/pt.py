@@ -92,12 +92,78 @@ def _packet_mode(scene):
     return "interpret" if env == "1" else None
 
 
-def trace_closest(scene, ray):
+def _morton3(q, bits):
+    """Interleave `bits` low bits of q[..., 0:3] (x major) -> [..] uint32."""
+    m = jnp.zeros_like(q[..., 0])
+    for b in range(bits):
+        m = m | (((q[..., 0] >> b) & 1) << (3 * b + 2))
+        m = m | (((q[..., 1] >> b) & 1) << (3 * b + 1))
+        m = m | (((q[..., 2] >> b) & 1) << (3 * b))
+    return m
+
+
+def _rebin_perm(scene, ray, act):
+    """Lane permutation restoring packet-block coherence for a bounced
+    wavefront: sort by (position morton 5b/axis, direction morton 4b/axis);
+    dead lanes get the max key so they compact into tail blocks that exit
+    after one traversal step (measured on staircase: coherent blocks trace
+    ~4x faster than incoherent ones, and this is the only compaction the
+    regeneration wavefront needs — no dynamic shapes)."""
+    p = (ray.origin - scene.world_lo) * scene.world_inv_extent
+    qp = jnp.clip(p * 32.0, 0.0, 31.0).astype(jnp.uint32)
+    mp = _morton3(qp, 5)                                    # 15 bits
+    qd = jnp.clip((ray.direction * 0.5 + 0.5) * 16.0, 0.0,
+                  15.0).astype(jnp.uint32)
+    md = _morton3(qd, 4)                                    # 12 bits
+    key = (mp << 12) | md
+    key = jnp.where(act, key, jnp.uint32(1) << 31)
+    return jnp.argsort(key)
+
+
+def _rebin_enabled():
+    import os
+    return os.environ.get("VT_REBIN", "1") != "0"
+
+
+def _trace_packet(scene, ray, act, any_hit, interpret):
+    """Packet trace with live-mask gating and lane re-binning. `act` masks
+    lanes (dead lanes trace with t_max=0 => one-step exit); when re-binning
+    is on, rays are sorted into coherent blocks and hits scattered back —
+    one [R]-row gather + one scatter, ~4 ms at 262k lanes, vs hundreds of
+    ms saved in traversal."""
+    from ..accel.packet_bvh import intersect_packet
+    sg = jax.lax.stop_gradient
+    tmax = ray.t_max if act is None else jnp.where(act, ray.t_max, 0.0)
+    gated = Ray(origin=ray.origin, direction=ray.direction, t_max=tmax)
+    if scene.world_lo is None or not _rebin_enabled():
+        hit = intersect_packet(gated, scene.pbvh, any_hit=any_hit,
+                               interpret=interpret)
+        return (hit.prim_id >= 0) if any_hit else hit
+    R = ray.origin.shape[0]
+    a = jnp.ones((R,), bool) if act is None else act
+    perm = sg(_rebin_perm(scene, gated, a))
+    packed = sg(jnp.concatenate([gated.origin, gated.direction,
+                                 tmax[:, None]], -1))[perm]
+    ray_s = Ray(origin=packed[:, 0:3], direction=packed[:, 3:6],
+                t_max=packed[:, 6])
+    hit_s = intersect_packet(ray_s, scene.pbvh, any_hit=any_hit,
+                             interpret=interpret)
+    if any_hit:
+        occ_s = (hit_s.prim_id >= 0).astype(jnp.float32)
+        occ = jnp.zeros((R,)).at[perm].set(occ_s)
+        return occ > 0.5
+    out_s = jnp.concatenate([hit_s.t[:, None],
+                             hit_s.prim_id.astype(jnp.float32)[:, None],
+                             hit_s.bary], -1)
+    out = jnp.zeros((R, 4)).at[perm].set(out_s)
+    return Hit(t=out[:, 0], prim_id=out[:, 1].astype(jnp.int32),
+               bary=out[:, 2:4])
+
+
+def trace_closest(scene, ray, act=None):
     mode = _packet_mode(scene)
     if mode is not None:
-        from ..accel.packet_bvh import intersect_packet
-        return intersect_packet(ray, scene.pbvh,
-                                interpret=(mode == "interpret"))
+        return _trace_packet(scene, ray, act, False, mode == "interpret")
     if scene.bvh is not None:
         return isect.intersect_bvh(ray, scene.bvh)
     if _use_pallas_isect():
@@ -106,13 +172,10 @@ def trace_closest(scene, ray):
     return isect.intersect_brute(ray, scene.tri_p0, scene.tri_e1, scene.tri_e2)
 
 
-def trace_occluded(scene, ray):
+def trace_occluded(scene, ray, act=None):
     mode = _packet_mode(scene)
     if mode is not None:
-        from ..accel.packet_bvh import intersect_packet
-        hit = intersect_packet(ray, scene.pbvh, any_hit=True,
-                               interpret=(mode == "interpret"))
-        return hit.prim_id >= 0
+        return _trace_packet(scene, ray, act, True, mode == "interpret")
     if scene.bvh is not None:
         hit = isect.intersect_bvh(ray, scene.bvh, any_hit=True)
         return hit.prim_id >= 0
@@ -204,7 +267,7 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
     so regenerated paths can resample them per lane.
     """
     r = Ray.make(c["o"], c["d"])
-    hit = trace_closest(scene, r)
+    hit = trace_closest(scene, r, act=c["act"])
     nrays = c["nrays"] + jnp.sum(c["act"].astype(jnp.float32))
     act = c["act"]
     st = c["st"]
@@ -292,7 +355,7 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
         shadow_o = jnp.where(samp_med[..., None], pos_med, shadow_o)
     shadow_ray = Ray.make(shadow_o, ls.wi,
                           t_max=ls.dist * (1.0 - 1e-3))
-    occ = trace_occluded(scene, shadow_ray)
+    occ = trace_occluded(scene, shadow_ray, act=act)
     nrays = nrays + jnp.sum(act.astype(jnp.float32))
     wi_l_nee = to_local(t, b, ns, ls.wi)
     nee_eval = ub.evaluate(params, wo_l, wi_l_nee)

@@ -91,8 +91,10 @@ def morton_sort_native(centroids):
 
 def build_bvh_native(p0, p1, p2, max_leaf=4):
     """Binned-SAH BVH build (native/bvh_builder.cpp). Returns a dict of flat
-    arrays (lo/hi [N,3] f32, first/count/skip [N] i32, order [T] i32) or None
-    if the native lib is unavailable."""
+    arrays (lo/hi [N,3] f32, first/count/skip/axis [N] i32, order [T] i32)
+    or None if the native lib is unavailable. `axis` is the split axis of
+    inner nodes (-1 for leaves); the left child always covers the lower side
+    of that axis (front-to-back traversal invariant)."""
     lib = _load()
     if not lib:
         return None
@@ -100,7 +102,7 @@ def build_bvh_native(p0, p1, p2, max_leaf=4):
         F = ctypes.POINTER(ctypes.c_float)
         I = ctypes.POINTER(ctypes.c_int32)
         lib.vt_build_bvh.argtypes = [F, F, F, ctypes.c_int64,
-                                     ctypes.c_int32, F, F, I, I, I, I]
+                                     ctypes.c_int32, F, F, I, I, I, I, I]
         lib.vt_build_bvh.restype = ctypes.c_int64
         lib._bvh_bound = True
     a0 = np.ascontiguousarray(p0, np.float32)
@@ -113,6 +115,7 @@ def build_bvh_native(p0, p1, p2, max_leaf=4):
     first = np.empty(cap, np.int32)
     count = np.empty(cap, np.int32)
     skip = np.empty(cap, np.int32)
+    axis = np.empty(cap, np.int32)
     order = np.empty(max(n, 1), np.int32)
     F = ctypes.POINTER(ctypes.c_float)
     I = ctypes.POINTER(ctypes.c_int32)
@@ -120,9 +123,11 @@ def build_bvh_native(p0, p1, p2, max_leaf=4):
         a0.ctypes.data_as(F), a1.ctypes.data_as(F), a2.ctypes.data_as(F),
         n, max_leaf, lo.ctypes.data_as(F), hi.ctypes.data_as(F),
         first.ctypes.data_as(I), count.ctypes.data_as(I),
-        skip.ctypes.data_as(I), order.ctypes.data_as(I))
+        skip.ctypes.data_as(I), order.ctypes.data_as(I),
+        axis.ctypes.data_as(I))
     if nn <= 0:
         return None
     return dict(lo=lo[:nn].copy(), hi=hi[:nn].copy(),
                 first=first[:nn].copy(), count=count[:nn].copy(),
-                skip=skip[:nn].copy(), order=order[:n].copy())
+                skip=skip[:nn].copy(), axis=axis[:nn].copy(),
+                order=order[:n].copy())

@@ -59,6 +59,9 @@ class SceneData:
     # render_setting.ray_offset_factor (node_desc.cpp:375); spawn offsets are
     # position-magnitude-scaled and multiplied by this
     ray_offset: jnp.ndarray = None
+    # scene AABB for wavefront re-binning keys (pt._rebin_perm)
+    world_lo: jnp.ndarray = None        # [3]
+    world_inv_extent: jnp.ndarray = None  # [3] 1/max(extent, eps)
 
 
 class Scene:
@@ -478,8 +481,12 @@ class Scene:
         if len(p_all):
             center = 0.5 * (p_all.min(0) + p_all.max(0))
             radius = float(np.linalg.norm(p_all - center, axis=-1).max())
+            w_lo = p_all.min(0).astype(np.float32)
+            w_ext = np.maximum(p_all.max(0) - w_lo, 1e-6).astype(np.float32)
         else:
             radius = 1.0
+            w_lo = np.zeros(3, np.float32)
+            w_ext = np.ones(3, np.float32)
 
         self.data = SceneData(
             tri_p0=jnp.asarray(t["p0"]), tri_e1=jnp.asarray(t["e1"]),
@@ -507,6 +514,8 @@ class Scene:
             spectrum=self.spectrum,
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
             ray_offset=jnp.asarray(self.ray_offset_factor, jnp.float32),
+            world_lo=jnp.asarray(w_lo),
+            world_inv_extent=jnp.asarray(1.0 / w_ext),
         )
 
 
