@@ -67,10 +67,11 @@ def test_gltf_scene_maps_materials_lights_camera():
     mid = sc.mat_compiler.get("redmetal")
     assert mid >= 0
     assert float(sc.data.materials.metallic[mid]) > 0.9
-    # punctual light mapped (point, intensity-scaled color)
+    # punctual light mapped (point, candela -> W/sr via 683 lm/W)
     lt = sc.data.lights
     assert lt.n_lights == 1
-    assert np.allclose(np.asarray(lt.color[0]), [5.0, 4.0, 3.0], atol=1e-5)
+    assert np.allclose(np.asarray(lt.color[0]),
+                       np.array([5.0, 4.0, 3.0]) / 683.0, atol=1e-7)
     assert np.allclose(np.asarray(lt.position[0]), [0, 2, 0], atol=1e-6)
     # camera mapped: position and -z viewing direction
     assert np.allclose(np.asarray(sc.camera.c2w[:3, 3]), [0, 0, 5],

@@ -158,3 +158,63 @@ class TestBakedDisplay:
         ref = render(sc, spp=4)
         ratio = img.mean() / max(ref.mean(), 1e-9)
         assert 0.3 < ratio < 3.0, ratio
+
+
+class TestLightField:
+    """light_field framebuffer plugin (render_core/framebuffer/
+    light_field.cpp): S x S sub-aperture views in one wavefront."""
+
+    def test_subaperture_views_parallax_and_refocus(self):
+        from vision_tpu.render import render_light_field
+        from vision_tpu.sensor import light_field as lf
+        s = copy.deepcopy(CBOX_JSON)
+        cam = s["camera"]["param"]
+        cam["radiance_collector"]["param"]["resolution"] = [24, 24]
+        cam["lens_radius"] = 0.35
+        cam["focal_distance"] = 6.0
+        sc = Scene(s)
+        tiles = render_light_field(sc, spp=4, grid=2)
+        assert tiles.shape == (2, 2, 24, 24, 3)
+        t = np.asarray(tiles)
+        assert np.isfinite(t).all() and t.mean() > 0
+        # different aperture points -> parallax: corner views must differ
+        d = np.abs(t[0, 0] - t[1, 1]).mean()
+        assert d > 1e-4, f"no parallax between sub-aperture views ({d})"
+        # mosaic + refocus shapes
+        m = np.asarray(lf.mosaic(jnp.asarray(t)))
+        assert m.shape == (48, 48, 3)
+        r = np.asarray(lf.refocus(jnp.asarray(t), 0.0))
+        assert r.shape == (24, 24, 3)
+        assert np.allclose(r, t.mean(axis=(0, 1)), atol=1e-6)
+
+    def test_pinhole_views_generate_identical_rays(self):
+        # zero aperture: every sub-view degenerates to the same pinhole
+        # rays (only the per-lane RNG noise differs at render time)
+        from vision_tpu.sensor import light_field as lf
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [16, 16]
+        sc = Scene(s)
+        cam = lf.light_field_camera(sc.camera, 2)
+        n = 16 * 16
+        pix = np.arange(4 * n)
+        px = (pix % 16 + 0.5).astype(np.float32)
+        py = (pix // 16 + 0.5).astype(np.float32)
+        ray = cam.generate_ray(jnp.asarray(np.stack([px, py], -1)))
+        d = np.asarray(ray.direction).reshape(4, n, 3)
+        o = np.asarray(ray.origin).reshape(4, n, 3)
+        for v in range(1, 4):
+            assert np.allclose(d[0], d[v], atol=1e-6)
+            assert np.allclose(o[0], o[v], atol=1e-6)
+
+    def test_scene_framebuffer_plugin_routes(self):
+        from vision_tpu.render import render as render_fn
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [16, 16]
+        s.setdefault("pipeline", {}).setdefault("param", {})[
+            "frame_buffer"] = {"type": "light_field", "param": {"grid": 2}}
+        sc = Scene(s)
+        assert sc.framebuffer_type == "light_field"
+        img = render_fn(sc, spp=2)
+        assert img.shape == (32, 32, 3)

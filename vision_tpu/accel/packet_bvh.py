@@ -219,9 +219,12 @@ def _slab2(l, r, lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     return tnear, tfar
 
 
-def _any_row(mask2, row):
-    """Scalar: does any lane of row `row` of a (2, RT) mask hold?"""
-    return jnp.max(jnp.where(mask2[row:row + 1, :], 1.0, 0.0)) > 0.5
+def _any2(mask2):
+    """(hitL, hitR) scalars from a (2, RT) mask with ONE cross-lane
+    reduction (the vector->scalar sync is the costly part of a traversal
+    step; two row scalars after one reduce beat two full reduces)."""
+    red = jnp.max(jnp.where(mask2, 1.0, 0.0), axis=1, keepdims=True)  # (2,1)
+    return red[0, 0] > 0.5, red[1, 0] > 0.5
 
 
 def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
@@ -302,8 +305,7 @@ def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
                              hix_ref, hiy_ref, hiz_ref, ox, oy, oz,
                              ix, iy, iz)
         hitm = (tfar >= tnear) & (tnear < best_ref[0:1, :])
-        hitL = _any_row(hitm, 0)
-        hitR = _any_row(hitm, 1)
+        hitL, hitR = _any2(hitm)
         leafL = bl >= 0
         leafR = br >= 0
 
@@ -407,8 +409,7 @@ def _anyhit_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
                              ix, iy, iz)
         live = (occ_ref[0:1, :] < 0.5) & (tmax > 0.0)
         hitm = (tfar >= tnear) & (tnear < tmax) & live
-        hitL = _any_row(hitm, 0)
-        hitR = _any_row(hitm, 1)
+        hitL, hitR = _any2(hitm)
         leafL = bl >= 0
         leafR = br >= 0
 

@@ -31,7 +31,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.distributed:
         from .parallel import launch
-        launch.init_distributed()
+        if not launch.init_distributed():
+            # the user explicitly asked for multi-host: a silent single-host
+            # fallback would burn pod time rendering N duplicate images
+            raise SystemExit(
+                "--distributed: jax.distributed.initialize() failed "
+                "(check coordinator address / process env)")
 
     from .scene.scene import load_scene
     from .render import render, postprocess

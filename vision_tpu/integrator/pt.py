@@ -355,8 +355,6 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
         shadow_o = jnp.where(samp_med[..., None], pos_med, shadow_o)
     shadow_ray = Ray.make(shadow_o, ls.wi,
                           t_max=ls.dist * (1.0 - 1e-3))
-    occ = trace_occluded(scene, shadow_ray, act=act)
-    nrays = nrays + jnp.sum(act.astype(jnp.float32))
     wi_l_nee = to_local(t, b, ns, ls.wi)
     nee_eval = ub.evaluate(params, wo_l, wi_l_nee)
     f_nee = nee_eval.f * jnp.abs(wi_l_nee[..., 2])[..., None]
@@ -370,7 +368,19 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
     is_delta = ls.pdf < 0.0
     l_pdf_pos = jnp.where(is_delta, -ls.pdf, ls.pdf)
     w_nee = jnp.where(is_delta, 1.0, warp.mis_weight(l_pdf_pos, nee_pdf))
-    nee_ok = act & jnp.logical_not(occ) & (l_pdf_pos > 0.0) & (nee_pdf >= 0.0)
+    # only trace shadow rays that can contribute: specular interactions
+    # (glass/mirror lobes) evaluate f=0 for NEE directions, and dark or
+    # invalid light samples add nothing. Gated lanes get t_max=0 and
+    # compact into free tail blocks — on the prism scene this skips most
+    # shadow rays (integrator.cpp's `occluded()` traces unconditionally).
+    nee_pre = (act & (l_pdf_pos > 0.0) & (nee_pdf >= 0.0)
+               & (jnp.max(jnp.abs(ls.L * f_nee), -1) > 0.0))
+    occ = trace_occluded(scene, shadow_ray, act=nee_pre)
+    # ray accounting: the packet path really skips gated lanes; the dense
+    # sweep still processes every active lane
+    counted = nee_pre if _packet_mode(scene) is not None else act
+    nrays = nrays + jnp.sum(counted.astype(jnp.float32))
+    nee_ok = nee_pre & jnp.logical_not(occ)
     Ld = ls.L * f_nee * safe_div(w_nee, l_pdf_pos)[..., None]
     if has_media:
         tr_sh = md.transmittance(sigma_t_sp, ls.dist, in_med)

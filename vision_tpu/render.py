@@ -56,6 +56,12 @@ def render(scene, spp=None, verbose=False, adaptive=False):
     """
     spp = spp or scene.output_spp or 64
     t0 = time.time()
+    if getattr(scene, "framebuffer_type", "normal") == "light_field":
+        # light_field framebuffer plugin: contact sheet of the S x S
+        # sub-aperture views (sensor/light_field.py)
+        from .sensor import light_field as lf
+        tiles = render_light_field(scene, spp=spp, verbose=verbose)
+        return np.asarray(lf.mosaic(tiles))
     if adaptive:
         img, _ = render_adaptive(scene, spp, verbose)
         return img
@@ -76,6 +82,30 @@ def render(scene, spp=None, verbose=False, adaptive=False):
             print(f"  spp {done}/{spp}  ({dt:.2f}s, {done / dt:.2f} spp/s)")
     accum.block_until_ready()
     return np.asarray(accum)
+
+
+def render_light_field(scene, spp=16, grid=None, verbose=False):
+    """Render the light_field framebuffer: one wavefront over the stacked
+    (W, S*S*H) lane space, every lane's view decoded from its raster row.
+    Returns view tiles [S, S, H, W, 3] (linear HDR)."""
+    from .sensor import light_field as lf
+    grid = grid or getattr(scene, "lf_grid", 3)
+    cam = lf.light_field_camera(scene.camera, grid)
+    chunk = WAVE_CHUNK_BVH if getattr(scene, "use_bvh", False) else WAVE_CHUNK
+    accum = None
+    done = 0
+    while done < spp:
+        n = min(chunk, spp - done)
+        img, _ = _wave_pass(scene.data, cam, scene.filter,
+                            jnp.uint32(done), n, scene.max_depth,
+                            scene.min_depth, jnp.float32(scene.rr_threshold))
+        w = n / float(done + n)
+        accum = img if accum is None else accum * (1.0 - w) + img * w
+        done += n
+        if verbose:
+            accum.block_until_ready()
+            print(f"  light-field spp {done}/{spp}")
+    return lf.film_to_tiles(accum, scene.camera.resolution, grid)
 
 
 def render_adaptive(scene, spp, verbose=False, chunk=8, min_chunks=3,

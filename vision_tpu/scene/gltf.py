@@ -204,7 +204,15 @@ def _map_material(doc, mat_idx, base_dir):
         src = doc["textures"][tex["index"]].get("source")
         uri = doc["images"][src].get("uri") if src is not None else None
         if uri and not uri.startswith("data:"):
-            param["color"] = {"fn": uri, "color_space": "srgb"}
+            img = {"fn": uri, "color_space": "srgb"}
+            if any(abs(b - 1.0) > 1e-6 for b in base[:3]):
+                # glTF spec: baseColorFactor MULTIPLIES the texture; fold
+                # through a shader-graph multiply node (bakes at load)
+                param["color"] = {"type": "multiply",
+                                  "param": {"lhs": img,
+                                            "rhs": list(base[:3])}}
+            else:
+                param["color"] = img
         else:
             param["color"] = list(base[:3])
     else:
@@ -265,8 +273,12 @@ def load_gltf_scene(path):
         li = nd.get("extensions", {}).get("KHR_lights_punctual", {})
         if "light" in li and li["light"] < len(ext_lights):
             gl = ext_lights[li["light"]]
-            color = [c * gl.get("intensity", 1.0)
-                     for c in gl.get("color", [1, 1, 1])]
+            # KHR_lights_punctual units are photometric (candela = lm/sr for
+            # point/spot, lux for directional); the renderer works in
+            # radiometric units. Convert via 683 lm/W luminous efficacy so
+            # imported scenes land at a plausible radiance scale.
+            intensity = gl.get("intensity", 1.0) / 683.0
+            color = [c * intensity for c in gl.get("color", [1, 1, 1])]
             pos = list(map(float, m[:3, 3]))
             fwd = list(map(float, -m[:3, 2]))  # glTF lights point -z
             if gl.get("type") == "directional":

@@ -201,6 +201,10 @@ class Scene:
         if not rc_param and fb:
             res = fb.get("param", {}).get("resolution", res)
         self.resolution = (int(res[0]), int(res[1]))
+        # framebuffer plugin choice (render_core/framebuffer/{normal,
+        # light_field}.cpp): light_field renders an S x S sub-aperture grid
+        self.framebuffer_type = fb.get("type", "normal")
+        self.lf_grid = int(fb.get("param", {}).get("grid", 3))
         self.camera = Camera.make(
             c2w, cp.as_float("fov_y", 20.0), self.resolution,
             lens_radius=cp.as_float("lens_radius", 0.0),
