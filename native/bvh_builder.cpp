@@ -216,6 +216,31 @@ struct Builder {
 
 }  // namespace
 
+namespace {
+
+int64_t run_build(Builder& b, int64_t n, float* out_lo, float* out_hi,
+                  int32_t* out_first, int32_t* out_count, int32_t* out_skip,
+                  int32_t* out_order, int32_t* out_axis) {
+  b.idx.resize(n);
+  for (int64_t i = 0; i < n; ++i) b.idx[i] = (int32_t)i;
+  b.nodes.reserve(2 * n);
+  b.build();
+  b.link();
+  int64_t nn = (int64_t)b.nodes.size();
+  for (int64_t i = 0; i < nn; ++i) {
+    std::memcpy(&out_lo[3 * i], b.nodes[i].box.lo, 12);
+    std::memcpy(&out_hi[3 * i], b.nodes[i].box.hi, 12);
+    out_first[i] = b.nodes[i].first;
+    out_count[i] = b.nodes[i].count;
+    out_skip[i] = b.nodes[i].skip;
+    out_axis[i] = b.axes[i];
+  }
+  std::memcpy(out_order, b.idx.data(), n * 4);
+  return nn;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Build. tris are given as p0/p1/p2 [n*3] f32 each. Returns node count.
@@ -240,23 +265,33 @@ int64_t vt_build_bvh(const float* p0, const float* p1, const float* p2,
   b.prim_box = boxes.data();
   b.cent = cent.data();
   b.max_leaf = std::max(1, (int)max_leaf);
-  b.idx.resize(n);
-  for (int64_t i = 0; i < n; ++i) b.idx[i] = (int32_t)i;
-  b.nodes.reserve(2 * n);
-  b.build();
-  b.link();
+  return run_build(b, n, out_lo, out_hi, out_first, out_count, out_skip,
+                   out_order, out_axis);
+}
 
-  int64_t nn = (int64_t)b.nodes.size();
-  for (int64_t i = 0; i < nn; ++i) {
-    std::memcpy(&out_lo[3 * i], b.nodes[i].box.lo, 12);
-    std::memcpy(&out_hi[3 * i], b.nodes[i].box.hi, 12);
-    out_first[i] = b.nodes[i].first;
-    out_count[i] = b.nodes[i].count;
-    out_skip[i] = b.nodes[i].skip;
-    out_axis[i] = b.axes[i];
+// Same tree over pre-computed AABBs (lo/hi [n*3]) — used for the TLAS over
+// instance bounds (reference: OptiX TLAS, `base/mgr/geometry.cpp:36-53`;
+// instances per `base/shape.h:21-33`).
+int64_t vt_build_bvh_boxes(const float* lo, const float* hi, int64_t n,
+                           int32_t max_leaf, float* out_lo, float* out_hi,
+                           int32_t* out_first, int32_t* out_count,
+                           int32_t* out_skip, int32_t* out_order,
+                           int32_t* out_axis) {
+  if (n <= 0) return 0;
+  std::vector<AABB> boxes(n);
+  std::vector<float> cent(3 * n);
+  for (int64_t i = 0; i < n; ++i) {
+    boxes[i].grow(&lo[3 * i]);
+    boxes[i].grow(&hi[3 * i]);
+    for (int c = 0; c < 3; ++c)
+      cent[3 * i + c] = (boxes[i].lo[c] + boxes[i].hi[c]) * 0.5f;
   }
-  std::memcpy(out_order, b.idx.data(), n * 4);
-  return nn;
+  Builder b;
+  b.prim_box = boxes.data();
+  b.cent = cent.data();
+  b.max_leaf = std::max(1, (int)max_leaf);
+  return run_build(b, n, out_lo, out_hi, out_first, out_count, out_skip,
+                   out_order, out_axis);
 }
 
 }  // extern "C"

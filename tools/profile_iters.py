@@ -7,6 +7,7 @@ data that tunes pt._rebin_perm (position-vs-direction bit split).
 
 Usage: python tools/profile_iters.py [scene.json] [res] [depth]
 """
+import functools
 import sys
 import time
 
@@ -75,11 +76,15 @@ def main():
         return (np.asarray(out[4, ::RT]),
                 np.asarray(out[5, ::RT]), live)
 
-    f_trace = jax.jit(lambda r: intersect_packet(r, pb).t)
+    # pass big pytrees as ARGUMENTS: closure-captured arrays serialize as
+    # HLO constants and blow the axon remote-compile request size limit
+    f_trace = jax.jit(lambda pb_, r: intersect_packet(r, pb_).t)
+    f_trace = functools.partial(f_trace, pb)
 
     configs = [(5, 4), (6, 3), (6, 4), (4, 4), (7, 3), (3, 5)]
-    bounce = jax.jit(lambda c, d: pt._bounce(
-        data, data.spectrum, swl, data.has_media, 1.0, 0, 1.0, d, c))
+    bounce_ = jax.jit(lambda data_, c, d: pt._bounce(
+        data_, data_.spectrum, swl, data.has_media, 1.0, 0, 1.0, d, c))
+    bounce = functools.partial(bounce_, data)
 
     for it in range(DEPTH):
         o, d, act = c["o"], c["d"], c["act"]

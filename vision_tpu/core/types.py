@@ -34,6 +34,11 @@ class Hit:
     t: jnp.ndarray        # [...] hit distance (t_max if miss)
     prim_id: jnp.ndarray  # [...] int32 triangle index (-1 = miss)
     bary: jnp.ndarray     # [..., 2] barycentric (b1, b2)
+    # instance id, filled only by the instanced (TLAS) traversal where
+    # prim_id is an OBJECT-space mesh triangle shared across instances;
+    # None on the flat path (prim_id is the world triangle, which encodes
+    # the instance via tri_pack)
+    inst: jnp.ndarray = None
 
     @property
     def is_miss(self):

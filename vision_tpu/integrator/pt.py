@@ -75,13 +75,15 @@ def _packet_mode(scene):
     """Packet-BVH routing (geometry.cpp:168-185 trace paths): the Pallas
     dense-brick traversal is the product path on TPU for every scene with a
     BVH; on CPU it runs only when forced (VT_PACKET=1, interpret mode, for
-    tests) since interpreted Pallas is slow. Returns None | 'tpu' |
-    'interpret'."""
+    tests) since interpreted Pallas is slow. Instanced (TLAS) scenes have
+    no flat fallback, so they ALWAYS take the packet path (interpret on
+    CPU). Returns None | 'tpu' | 'interpret'."""
     import os
-    if getattr(scene, "pbvh", None) is None:
+    instanced = getattr(scene, "ipbvh", None) is not None
+    if getattr(scene, "pbvh", None) is None and not instanced:
         return None
     env = os.environ.get("VT_PACKET", "")
-    if env == "0":
+    if env == "0" and not instanced:
         return None
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -89,7 +91,7 @@ def _packet_mode(scene):
         on_tpu = False
     if on_tpu:
         return "tpu"
-    return "interpret" if env == "1" else None
+    return "interpret" if (env == "1" or instanced) else None
 
 
 def _morton3(q, bits):
@@ -131,13 +133,23 @@ def _trace_packet(scene, ray, act, any_hit, interpret):
     is on, rays are sorted into coherent blocks and hits scattered back —
     one [R]-row gather + one scatter, ~4 ms at 262k lanes, vs hundreds of
     ms saved in traversal."""
-    from ..accel.packet_bvh import intersect_packet
+    from ..accel.packet_bvh import intersect_packet, intersect_packet_inst
     sg = jax.lax.stop_gradient
+    instanced = getattr(scene, "ipbvh", None) is not None
+
+    def _trace(r):
+        if instanced:
+            hit, inst = intersect_packet_inst(r, scene.ipbvh,
+                                              any_hit=any_hit,
+                                              interpret=interpret)
+            return hit.replace(inst=inst)
+        return intersect_packet(r, scene.pbvh, any_hit=any_hit,
+                                interpret=interpret)
+
     tmax = ray.t_max if act is None else jnp.where(act, ray.t_max, 0.0)
     gated = Ray(origin=ray.origin, direction=ray.direction, t_max=tmax)
     if scene.world_lo is None or not _rebin_enabled():
-        hit = intersect_packet(gated, scene.pbvh, any_hit=any_hit,
-                               interpret=interpret)
+        hit = _trace(gated)
         return (hit.prim_id >= 0) if any_hit else hit
     R = ray.origin.shape[0]
     a = jnp.ones((R,), bool) if act is None else act
@@ -146,18 +158,20 @@ def _trace_packet(scene, ray, act, any_hit, interpret):
                                  tmax[:, None]], -1))[perm]
     ray_s = Ray(origin=packed[:, 0:3], direction=packed[:, 3:6],
                 t_max=packed[:, 6])
-    hit_s = intersect_packet(ray_s, scene.pbvh, any_hit=any_hit,
-                             interpret=interpret)
+    hit_s = _trace(ray_s)
     if any_hit:
         occ_s = (hit_s.prim_id >= 0).astype(jnp.float32)
         occ = jnp.zeros((R,)).at[perm].set(occ_s)
         return occ > 0.5
-    out_s = jnp.concatenate([hit_s.t[:, None],
-                             hit_s.prim_id.astype(jnp.float32)[:, None],
-                             hit_s.bary], -1)
-    out = jnp.zeros((R, 4)).at[perm].set(out_s)
+    cols = [hit_s.t[:, None], hit_s.prim_id.astype(jnp.float32)[:, None],
+            hit_s.bary]
+    if instanced:
+        cols.append(hit_s.inst.astype(jnp.float32)[:, None])
+    out_s = jnp.concatenate(cols, -1)
+    out = jnp.zeros((R, out_s.shape[-1])).at[perm].set(out_s)
     return Hit(t=out[:, 0], prim_id=out[:, 1].astype(jnp.int32),
-               bary=out[:, 2:4])
+               bary=out[:, 2:4],
+               inst=out[:, 4].astype(jnp.int32) if instanced else None)
 
 
 def trace_closest(scene, ray, act=None):
@@ -201,22 +215,54 @@ def compute_interaction(scene, ray, hit):
     p0 = a[..., 0:3]
     e1 = a[..., 3:6]
     e2 = a[..., 6:9]
+    ns_raw = (b0[..., None] * a[..., 9:12]
+              + b1[..., None] * a[..., 12:15]
+              + b2[..., None] * a[..., 15:18])
+    instanced = getattr(scene, "ipbvh", None) is not None
+    if instanced:
+        # TLAS hit: tri_pack rows of dedup meshes are OBJECT space; apply
+        # the winning instance's o2w (shape.h o2w / geometry.cpp:79-166
+        # compute_surface_interaction does this on InstanceData). The
+        # residual instance carries an identity transform, so one fused
+        # path serves both.
+        ti = jnp.maximum(hit.inst, 0)
+        x = fetch_rows([scene.inst_xform], ti)[0]
+        L0, L1, L2 = x[..., 0:3], x[..., 3:6], x[..., 6:9]
+        trn = x[..., 9:12]
+        N0, N1, N2 = x[..., 12:15], x[..., 15:18], x[..., 18:21]
+
+        def lin(v):
+            return v[..., 0:1] * L0 + v[..., 1:2] * L1 + v[..., 2:3] * L2
+
+        p0 = lin(p0) + trn
+        e1 = lin(e1)
+        e2 = lin(e2)
+        # normals via inverse-transpose (handles non-uniform scale)
+        ns_raw = (ns_raw[..., 0:1] * N0 + ns_raw[..., 1:2] * N1
+                  + ns_raw[..., 2:3] * N2)
+        si = scene.inst_scene[ti]
+        res = si < 0
+        sic = jnp.maximum(si, 0)
+        inst = jnp.where(res, a[..., 24].astype(jnp.int32), si)
+        mat_id = jnp.where(res, a[..., 25].astype(jnp.int32),
+                           scene.inst_mat[sic])
+        light_id = jnp.where(res, a[..., 26].astype(jnp.int32),
+                             scene.inst_light[sic])
+    else:
+        inst = a[..., 24].astype(jnp.int32)
+        mat_id = a[..., 25].astype(jnp.int32)
+        light_id = a[..., 26].astype(jnp.int32)
     pos = p0 + b1[..., None] * e1 + b2[..., None] * e2
     ng = normalize(cross(e1, e2))
-    ns = normalize(b0[..., None] * a[..., 9:12]
-                   + b1[..., None] * a[..., 12:15]
-                   + b2[..., None] * a[..., 15:18])
+    ns = normalize(ns_raw)
     # degenerate vertex normals -> geometric
-    ns_ok = jnp.sum(ns * ns, -1) > 0.5
+    ns_ok = jnp.sum(ns_raw * ns_raw, -1) > 1e-12
     ns = jnp.where(ns_ok[..., None], ns, ng)
     # align ns with ng hemisphere (reference keeps ng as orientation ref)
     ns = face_forward(ns, ng)
     uv = (b0[..., None] * a[..., 18:20]
           + b1[..., None] * a[..., 20:22]
           + b2[..., None] * a[..., 22:24])
-    inst = a[..., 24].astype(jnp.int32)
-    mat_id = a[..., 25].astype(jnp.int32)
-    light_id = a[..., 26].astype(jnp.int32)
 
     # shade-time normal mapping (material.h bump slot; shadernode
     # converter.cpp normal_map:58-62). Static-gated on any material

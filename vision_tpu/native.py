@@ -131,3 +131,43 @@ def build_bvh_native(p0, p1, p2, max_leaf=4):
                 first=first[:nn].copy(), count=count[:nn].copy(),
                 skip=skip[:nn].copy(), axis=axis[:nn].copy(),
                 order=order[:n].copy())
+
+
+def build_bvh_boxes_native(lo, hi, max_leaf=1):
+    """Binned-SAH BVH over precomputed AABBs (TLAS over instance bounds).
+    Same output layout as build_bvh_native; `order` permutes box ids."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_bvhb_bound"):
+        F = ctypes.POINTER(ctypes.c_float)
+        I = ctypes.POINTER(ctypes.c_int32)
+        lib.vt_build_bvh_boxes.argtypes = [F, F, ctypes.c_int64,
+                                           ctypes.c_int32, F, F, I, I, I, I, I]
+        lib.vt_build_bvh_boxes.restype = ctypes.c_int64
+        lib._bvhb_bound = True
+    alo = np.ascontiguousarray(lo, np.float32)
+    ahi = np.ascontiguousarray(hi, np.float32)
+    n = len(alo)
+    cap = max(2 * n, 2)
+    olo = np.empty((cap, 3), np.float32)
+    ohi = np.empty((cap, 3), np.float32)
+    first = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    skip = np.empty(cap, np.int32)
+    axis = np.empty(cap, np.int32)
+    order = np.empty(max(n, 1), np.int32)
+    F = ctypes.POINTER(ctypes.c_float)
+    I = ctypes.POINTER(ctypes.c_int32)
+    nn = lib.vt_build_bvh_boxes(
+        alo.ctypes.data_as(F), ahi.ctypes.data_as(F), n, max_leaf,
+        olo.ctypes.data_as(F), ohi.ctypes.data_as(F),
+        first.ctypes.data_as(I), count.ctypes.data_as(I),
+        skip.ctypes.data_as(I), order.ctypes.data_as(I),
+        axis.ctypes.data_as(I))
+    if nn <= 0:
+        return None
+    return dict(lo=olo[:nn].copy(), hi=ohi[:nn].copy(),
+                first=first[:nn].copy(), count=count[:nn].copy(),
+                skip=skip[:nn].copy(), axis=axis[:nn].copy(),
+                order=order[:n].copy())

@@ -324,6 +324,28 @@ def load_ply(path):
                    UV.astype(np.float32), T)
 
 
+def geometry_key(stype, params, scene_dir="."):
+    """Hashable identity of a shape's GEOMETRY (transform/material excluded)
+    for the mesh registry (`/root/reference/src/base/mgr/mesh_registry.h:
+    12-38` hash-dedup). None = not cacheable."""
+    if stype == "quad" or stype in ("quad_y", "quady"):
+        return ("quad", params.get("width", 1.0), params.get("height", 1.0))
+    if stype == "cube":
+        return ("cube", params.get("x", 1.0), params.get("y", 0),
+                params.get("z", 0))
+    if stype == "sphere":
+        return ("sphere", params.get("radius", 1.0),
+                params.get("sub_div", 60))
+    if stype == "model":
+        fn = params.get("fn")
+        if fn is None:
+            return None
+        return ("model", os.path.abspath(os.path.join(scene_dir, fn)),
+                params.get("smooth", True), params.get("gltf_node"),
+                params.get("gltf_prim"))
+    return None
+
+
 def make_shape(stype, params, scene_dir="."):
     """Shape factory keyed by the JSON `type` (reference plugin names)."""
     if stype == "quad":
