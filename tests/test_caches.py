@@ -81,3 +81,29 @@ class TestSurfel:
         pool = surfel.accumulate(pool, pos, jnp.ones((16, 3)), m)
         _, w = surfel.query(pool, pos[:1], down[:1])
         assert float(w[0]) == 0.0
+
+
+def test_surfel_cache_drives_realtime_gi():
+    """The surfel pool is a selectable radiance-cache plugin for the
+    real-time integrator (render_core/radiancecache/surfel counterpart of
+    sharc): frames populate it and later frames query it."""
+    import copy
+    import jax.numpy as jnp
+    from tests.fixtures import CBOX_JSON
+    from vision_tpu.scene.scene import Scene
+    from vision_tpu.integrator import realtime as rt
+    from vision_tpu.caches.surfel import SurfelPool
+
+    s = copy.deepcopy(CBOX_JSON)
+    s["camera"]["param"]["radiance_collector"]["param"][
+        "resolution"] = [16, 16]
+    sc = Scene(s)
+    state = rt.RealTimeState.initial((16, 16), cache="surfel")
+    assert isinstance(state.sharc, SurfelPool)
+    for _ in range(4):
+        img, state = rt.render_realtime(sc.data, sc.camera, state)
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.mean() > 0
+    pool = state.sharc
+    assert float(jnp.sum(pool.live)) > 8, "no surfels spawned"
+    assert float(jnp.sum(pool.count)) > 8, "no irradiance accumulated"

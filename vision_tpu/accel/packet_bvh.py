@@ -61,7 +61,15 @@ _EPS = 1e-9
 _EDGE_EPS = 1e-6
 _BIG = 3e38
 RT = 1024       # rays per block (lanes)
-BRICK = 64      # max triangles per leaf brick
+# max triangles per leaf brick. The brick sweep is the dominant cost on
+# incoherent wavefronts (a block tests leaves x BRICK tris densely).
+# Measured on staircase (v5e): 32 wins the bare incoherent-closest
+# microbench by ~15% (119 vs 140 ms) but LOSES the full PT wave (1.25 vs
+# 1.55 Mrays/s — the doubled node count hurts the shadow/mixed traces),
+# and 16 doubles nodes past the SMEM budget; 64 stays the default.
+# VT_BRICK overrides for measurement.
+import os as _os
+BRICK = int(_os.environ.get("VT_BRICK", "64"))
 TSUB = 8        # triangles per MT chunk (sublanes)
 STACK = 160     # SMEM far-child stack; builder caps depth at 48+log2(n)
 

@@ -372,7 +372,8 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
 
     # ---------------- material params + shading frame ----------------
     params, dispersive = gather_params(scene.materials, scene.atlas,
-                                       mat_id, uv, spectrum, swl_c)
+                                       mat_id, uv, spectrum, swl_c,
+                                       cos_wo=jnp.abs(dot(ns, wo)))
     # dispersion: kill secondary wavelengths on dispersive interactions
     # (SampledWavelengths::check_dispersive)
     alive = c["alive"] & jnp.logical_not(act & dispersive)

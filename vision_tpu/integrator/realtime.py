@@ -31,12 +31,22 @@ class RealTimeState:
     frame: jnp.ndarray    # scalar int
 
     @classmethod
-    def initial(cls, resolution, sharc_capacity=1 << 16, base_voxel=0.05):
+    def initial(cls, resolution, sharc_capacity=1 << 16, base_voxel=0.05,
+                cache="sharc"):
+        """cache: the radiance-cache plugin choice, "sharc" (hash grid,
+        render_core/radiancecache/sharc) or "surfel"
+        (render_core/radiancecache/surfel). The `sharc` state field holds
+        whichever cache object was selected."""
         W, H = resolution
+        if cache == "surfel":
+            from ..caches import surfel as surfel_mod
+            c = surfel_mod.SurfelPool.create(sharc_capacity,
+                                             cell_size=base_voxel * 3.0)
+        else:
+            c = sharc_mod.SharcCache.create(sharc_capacity, base_voxel)
         return cls(reservoir=restir.Reservoir.empty(W * H),
                    gi_reservoir=restir_gi.GIReservoir.empty(W * H),
-                   sharc=sharc_mod.SharcCache.create(sharc_capacity,
-                                                     base_voxel),
+                   sharc=c,
                    gbuffer=None, svgf=svgf_mod.init_state(H, W),
                    frame=jnp.zeros((), jnp.int32))
 
@@ -72,16 +82,24 @@ def render_realtime(scene, camera, rt_state, m_light=8, spatial_taps=2,
     cam_pos = camera.position if hasattr(camera, "position") else \
         camera.c2w[:3, 3]
     if gi:
+        from ..caches.surfel import SurfelPool
+        is_surfel = isinstance(rt_state.sharc, SurfelPool)
         cache = rt_state.sharc if use_sharc else None
         st, L_ind, new_gi, cache_samples = restir_gi.restir_gi(
             scene, gb, st, prev=prev_gi, resolution=(W, H),
             spatial_taps=spatial_taps, bounce_depth=gi_bounce_depth,
-            sharc=cache, cam_pos=cam_pos)
+            sharc=None if is_surfel else cache, cam_pos=cam_pos,
+            surfel=cache if is_surfel else None)
         if use_sharc:
             x_s, n_s, L_path, ok = cache_samples
-            new_sharc = sharc_mod.update(rt_state.sharc, x_s, n_s, L_path,
-                                         cam_pos, ok)
-            new_sharc = sharc_mod.resolve(new_sharc)
+            if is_surfel:
+                from ..caches import surfel as sf
+                new_sharc = sf.spawn(rt_state.sharc, x_s, n_s, ok)
+                new_sharc = sf.accumulate(new_sharc, x_s, L_path, ok)
+            else:
+                new_sharc = sharc_mod.update(rt_state.sharc, x_s, n_s,
+                                             L_path, cam_pos, ok)
+                new_sharc = sharc_mod.resolve(new_sharc)
         L = L_direct + L_ind
     else:
         L = L_direct

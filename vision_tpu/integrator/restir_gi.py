@@ -49,11 +49,13 @@ def _phat(gb, params, wo_l, frame, x_s, L_s):
 
 
 def initial_samples(scene, gb, state, bounce_depth=2, sharc=None,
-                    cam_pos=None):
+                    cam_pos=None, surfel=None):
     """One BSDF-sampled indirect path per pixel (indirect.cpp initial pass).
-    With `sharc` (a SharcCache) the traced incident radiance is replaced by
-    the cache value where the cache has converged (rt.cpp: SHARC queried at
-    secondary vertices), cutting initial-sample variance. Returns
+    With `sharc` (a SharcCache) or `surfel` (a SurfelPool) the traced
+    incident radiance is replaced by the cache value where the cache has
+    converged (rt.cpp: radiance cache queried at secondary vertices; the
+    cache plugin choice mirrors render_core/radiancecache/{sharc,surfel}),
+    cutting initial-sample variance. Returns
     (state, reservoir, shading context, cache-update samples)."""
     n = gb.pos.shape[0]
     params, _ = gather_params(scene.materials, scene.atlas, gb.mat_id, gb.uv)
@@ -78,6 +80,12 @@ def initial_samples(scene, gb, state, bounce_depth=2, sharc=None,
     if sharc is not None:
         from ..caches import sharc as sh
         L_q, ok = sh.query(sharc, x_s, n_s, cam_pos)
+        L_s = jnp.where((ok & hit.is_hit)[..., None], L_q, L_path)
+    elif surfel is not None:
+        from ..caches import surfel as sf
+        val, wq = sf.query(surfel, x_s, n_s)
+        ok = wq > 0.25
+        L_q = safe_div(val, wq[..., None])
         L_s = jnp.where((ok & hit.is_hit)[..., None], L_q, L_path)
 
     p_hat = _phat(gb, params, wo_l, frame, x_s, L_s)
@@ -128,13 +136,14 @@ def _merge(res, other, other_origin_pos, gb, params, wo_l, frame, u):
 
 def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
               spatial_radius=12.0, history_limit=16.0, bounce_depth=2,
-              sharc=None, cam_pos=None):
+              sharc=None, cam_pos=None, surfel=None):
     """Full GI pass. prev: (prev_reservoir, prev_gbuffer) or None.
     Returns (state, L_indirect [N, 3], reservoir, cache_samples)."""
     n = gb.pos.shape[0]
     W_, H_ = resolution
     state, res, (params, wo_l, frame), cache_samples = initial_samples(
-        scene, gb, state, bounce_depth, sharc=sharc, cam_pos=cam_pos)
+        scene, gb, state, bounce_depth, sharc=sharc, cam_pos=cam_pos,
+        surfel=surfel)
 
     if prev is not None:
         prev_res, prev_gb = prev

@@ -87,6 +87,11 @@ class LightTable:
                                 default=("area", "point", "spot", "proj",
                                          "env", "dir", "tex"))
 
+    # IES angular profiles (base/illumination/ies.cpp, wired as a
+    # spot/projector mask — the reference parses but never consumes them)
+    ies_id: jnp.ndarray = None        # [L] profile row (-1 none)
+    ies_profiles: jnp.ndarray = None  # [P, 64] polar profile, peak 1
+
     def has(self, name):
         return name in self.feats
 
@@ -204,6 +209,25 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
          table.tri_base], lid)
     l_w2o = l_w2o.reshape(l_w2o.shape[:-1] + (3, 3))
 
+    def ies_weight(cos_theta):
+        """IES angular mask for the selected light (1 when no profile):
+        per-lane profile row + linear interpolation over the polar angle."""
+        if "ies" not in table.feats or table.ies_id is None:
+            return jnp.ones_like(cos_theta)
+        l_ies = fetch_rows([table.ies_id], lid)[0]
+        prof = table.ies_profiles[jnp.clip(l_ies, 0,
+                                           table.ies_profiles.shape[0] - 1)]
+        n = prof.shape[-1]
+        theta = jnp.degrees(jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0)))
+        t = theta / 180.0 * (n - 1)
+        i0 = jnp.clip(t.astype(jnp.int32), 0, n - 1)
+        i1 = jnp.clip(i0 + 1, 0, n - 1)
+        f = (t - i0.astype(jnp.float32))[..., None]
+        v0 = jnp.take_along_axis(prof, i0[..., None], axis=-1)
+        v1 = jnp.take_along_axis(prof, i1[..., None], axis=-1)
+        w = (v0 * (1 - f) + v1 * f)[..., 0]
+        return jnp.where(l_ies >= 0, w, 1.0)
+
     shape = ref_pos.shape[:-1]
     zeros = jnp.zeros(shape)
     false = jnp.zeros(shape, bool)
@@ -286,8 +310,9 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
         if table.has("spot"):
             dirn_s = l_dir
             w_from_light = -wi_near
-            fall = _falloff_spot(jnp.sum(dirn_s * w_from_light, -1),
-                                 l_cosang, l_cosfall)
+            cos_sp = jnp.sum(dirn_s * w_from_light, -1)
+            fall = _falloff_spot(cos_sp, l_cosang, l_cosfall)
+            fall = fall * ies_weight(cos_sp)
             L = jnp.where(is_spot[..., None], L_p * fall[..., None], L)
         if table.has("proj"):
             # projector: transform ref into light space
@@ -304,7 +329,9 @@ def sample_wi(table, atlas, tri_pack, ref_pos, ref_ng, u_sel, u2,
                                      jnp.ones_like(tex_pr))
             else:
                 proj_col = jnp.ones(uv_pr.shape[:-1] + (3,))
-            L_pr = color * proj_col / d2[..., None] * in_frame[..., None]
+            cos_pr = normalize(pl)[..., 2]
+            L_pr = (color * proj_col / d2[..., None] * in_frame[..., None]
+                    * ies_weight(cos_pr)[..., None])
             L = jnp.where(is_proj[..., None], L_pr, L)
 
     # ---- spherical env: alias over pixels
@@ -401,7 +428,7 @@ class LightBuilder:
                     cos_angle=0.0, cos_falloff=1.0, tan_xy=[1.0, 1.0],
                     w2o=np.eye(3, dtype=np.float32),
                     two_sided=0, inst_id=-1, total_area=1.0, tri_base=0,
-                    power=1.0)
+                    power=1.0, ies_id=-1)
 
     def add_area(self, color, inst_id, tri_base, tri_areas, two_sided=False,
                  tex_id=-1):
@@ -425,7 +452,15 @@ class LightBuilder:
         self.area_weights.append(np.ones(1))
         return len(self.rows) - 1
 
-    def add_spot(self, color, position, direction, angle_deg, falloff_deg):
+    def add_ies_profile(self, profile):
+        """Register a [64] polar attenuation profile; returns its id."""
+        if not hasattr(self, "ies_profiles"):
+            self.ies_profiles = []
+        self.ies_profiles.append(np.asarray(profile, np.float32))
+        return len(self.ies_profiles) - 1
+
+    def add_spot(self, color, position, direction, angle_deg, falloff_deg,
+                 ies=-1):
         r = self._default()
         angle = np.deg2rad(np.clip(angle_deg, 1.0, 89.0))
         falloff = np.deg2rad(np.clip(falloff_deg, 0.0, np.rad2deg(angle)))
@@ -435,12 +470,12 @@ class LightBuilder:
         r.update(ltype=L_SPOT, color=list(color), position=list(position),
                  direction=list(d), cos_angle=float(np.cos(angle)),
                  cos_falloff=float(np.cos(max(0.0, angle - falloff))),
-                 power=2 * Pi * lum)
+                 power=2 * Pi * lum, ies_id=ies)
         self.rows.append(r)
         self.area_weights.append(np.ones(1))
         return len(self.rows) - 1
 
-    def add_projector(self, color, o2w, angle_deg, ratio, tex_id):
+    def add_projector(self, color, o2w, angle_deg, ratio, tex_id, ies=-1):
         r = self._default()
         tan_y = float(np.tan(np.deg2rad(angle_deg)))
         tan_x = ratio * tan_y
@@ -449,7 +484,7 @@ class LightBuilder:
         r.update(ltype=L_PROJECTOR, color=list(color),
                  position=list(np.asarray(o2w[:3, 3], np.float64)),
                  tan_xy=[tan_x, tan_y], w2o=w2o, color_tex=tex_id,
-                 power=lum)
+                 power=lum, ies_id=ies)
         self.rows.append(r)
         self.area_weights.append(np.ones(1))
         return len(self.rows) - 1
@@ -536,6 +571,12 @@ class LightBuilder:
             ("tex",) if any(r["color_tex"] >= 0 and r["ltype"] != L_SPHERICAL
                             for r in rows) else ()))
 
+        profs = getattr(self, "ies_profiles", [])
+        if any(r["ies_id"] >= 0 for r in rows):
+            feats = feats + ("ies",)
+        prof_arr = (np.stack(profs) if profs
+                    else np.ones((1, 64), np.float32))
+
         return LightTable(
             feats=feats,
             n_lights=L, env_index=env_index,
@@ -558,4 +599,6 @@ class LightBuilder:
             e_pmf=jnp.asarray(em),
             sel_prob=jnp.asarray(sp), sel_alias=jnp.asarray(sa, jnp.int32),
             sel_pmf=jnp.asarray(sm),
+            ies_id=col("ies_id", np.int32),
+            ies_profiles=jnp.asarray(prof_arr),
         )

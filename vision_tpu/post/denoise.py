@@ -14,7 +14,9 @@ import jax.numpy as jnp
 from ..core.math import luminance
 
 
-_ATROUS_KERNEL = jnp.asarray([1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16])
+# numpy (not jnp): jit stages closed-over device arrays as tracers, and
+# these weights fold into python floats at trace time
+_ATROUS_KERNEL = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
 
 
 def _shift2d(img, dy, dx):

@@ -42,7 +42,7 @@ def _wave_pass(scene_data, camera, filt, frame0, spp, max_depth, min_depth,
 # (packet traversal at ~1 Mrays/s on a 262k-tri scene at 512^2) trips the
 # TPU watchdog with a device fault, so keep each launch well under a minute
 WAVE_CHUNK = 32
-WAVE_CHUNK_BVH = 4
+WAVE_CHUNK_BVH = 8
 
 
 def render(scene, spp=None, verbose=False, adaptive=False):

@@ -344,6 +344,22 @@ class Scene:
                 return [scale] * 3, payload
             return [scale] * 3, None
 
+        def ies_id():
+            """Optional IES angular profile (illumination/ies.cpp parser,
+            consumed here as a spot/projector mask)."""
+            fn = p.raw("ies", None)
+            if not fn:
+                return -1
+            try:
+                from ..lights.ies import IESProfile
+                prof = IESProfile.load(os.path.join(self.scene_dir, fn))
+                return self.light_builder.add_ies_profile(
+                    np.asarray(prof.to_table()))
+            except Exception as e:
+                import warnings
+                warnings.warn(f"ies profile '{fn}' unusable: {e}")
+                return -1
+
         if lt == "point":
             c, _ = color3()
             self.light_builder.add_point(c, p.as_float3("position"))
@@ -352,7 +368,8 @@ class Scene:
             self.light_builder.add_spot(c, p.as_float3("position"),
                                         p.as_float3("direction", (0, 0, 1)),
                                         p.as_float("angle", 45.0),
-                                        p.as_float("falloff", 10.0))
+                                        p.as_float("falloff", 10.0),
+                                        ies=ies_id())
         elif lt == "projector":
             c, img = color3()
             tex = -1
@@ -366,7 +383,8 @@ class Scene:
                     warnings.warn(f"projector texture missing: {e}")
             o2w = xf.from_json(p.raw("o2w"))
             self.light_builder.add_projector(c, o2w, p.as_float("angle", 30.0),
-                                             p.as_float("ratio", 1.0), tex)
+                                             p.as_float("ratio", 1.0), tex,
+                                             ies=ies_id())
         elif lt == "spherical":
             c, img = color3()
             if img is None:

@@ -70,6 +70,12 @@ class MaterialTable:
     # GGX energy LUT (gen_energy_lut.py)
     ems_E: jnp.ndarray = None
     ems_Eavg: jnp.ndarray = None
+    # shade-time shader-graph nodes (render_core/shadernode/converter.cpp):
+    # fresnel-driven color mix (FresnelNode) and uv TRS (VectorMapping)
+    fres_ior: jnp.ndarray = None   # [M] mix ior (0 = slot not fresnel-driven)
+    fres_a: jnp.ndarray = None     # [M, 3] color at F=0
+    fres_b: jnp.ndarray = None     # [M, 3] color at F=1
+    uv_xform: jnp.ndarray = None   # [M, 6] uv' = [a b;c d]@uv + (tx,ty)
 
 
 def _default_row():
@@ -87,6 +93,8 @@ def _default_row():
         dispersive_id=-1, metal_id=-1,
         mix_b=-1, mix_wa=1.0, mix_wb=0.0, frac_tex=-1,
         normal_tex=-1, bump_scale=1.0,
+        fres_ior=0.0, fres_a=[0.0, 0.0, 0.0], fres_b=[1.0, 1.0, 1.0],
+        uv_xform=[1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
     )
 
 
@@ -107,11 +115,26 @@ class MaterialCompiler:
     def _slot_rgb(self, pset, key, default):
         """Resolve a color slot -> (rgb const [3], tex_id). Calculation node
         trees (multiply/add/lerp/... over images & numbers) fold/bake on the
-        host via shader_graph.fold_slot — see shader_graph.py."""
+        host via shader_graph.fold_slot — see shader_graph.py. Context-
+        dependent nodes (fresnel mix, vector_mapping uv TRS) are detected
+        here and staged for shade-time evaluation on the row being
+        compiled."""
         if key not in pset:
             return list(default), -1
-        from .shader_graph import resolve_rgb
-        return resolve_rgb(pset.raw(key), self.atlas, self.scene_dir, default)
+        from . import shader_graph as sg
+        raw = pset.raw(key)
+        dyn = sg.detect_fresnel_mix(raw, self.scene_dir)
+        if dyn is not None:
+            ior, A, B = dyn
+            self._pending_fresnel = (ior, A, B)
+            # static stand-in: the normal-incidence..grazing average
+            return [0.5 * (a + b) for a, b in zip(A, B)], -1
+        uvm = sg.detect_uv_mapping(raw)
+        if uvm is not None:
+            affine, inner = uvm
+            self._pending_uvmap = affine
+            raw = inner
+        return sg.resolve_rgb(raw, self.atlas, self.scene_dir, default)
 
     def _slot_scalar(self, pset, key, default):
         if key not in pset:
@@ -140,12 +163,29 @@ class MaterialCompiler:
 
     # ---- compile entry ----
 
+    def _row_with_dynamic(self, desc):
+        """_compile_row + attach any shade-time nodes its slots staged."""
+        saved = (getattr(self, "_pending_fresnel", None),
+                 getattr(self, "_pending_uvmap", None))
+        self._pending_fresnel = None
+        self._pending_uvmap = None
+        row = self._compile_row(desc)
+        if self._pending_fresnel is not None:
+            ior, A, B = self._pending_fresnel
+            row["fres_ior"] = float(max(ior, 1.0001))
+            row["fres_a"] = list(A)
+            row["fres_b"] = list(B)
+        if self._pending_uvmap is not None:
+            row["uv_xform"] = list(self._pending_uvmap)
+        self._pending_fresnel, self._pending_uvmap = saved
+        return row
+
     def compile(self, desc):
         """Compile one material desc; returns material id."""
         name = desc.get("name")
         if name and name in self.by_name:
             return self.by_name[name]
-        row = self._compile_row(desc)
+        row = self._row_with_dynamic(desc)
         mid = len(self.rows)
         sss = row.pop("_sss", None)
         if sss is not None:
@@ -157,7 +197,7 @@ class MaterialCompiler:
 
     def _append_child(self, desc):
         """Compile a sub-material of a mixture into its own (anonymous) row."""
-        row = self._compile_row(desc)
+        row = self._row_with_dynamic(desc)
         row.pop("_sss", None)
         self.rows.append(row)
         return len(self.rows) - 1
@@ -416,6 +456,11 @@ class MaterialCompiler:
             feats.append("mix2")
         if any(r["normal_tex"] >= 0 for r in rows):
             feats.append("nmap")  # shade-time normal mapping active
+        if any(r["fres_ior"] > 0 for r in rows):
+            feats.append("fresmix")  # shade-time fresnel-driven color
+        if any(r["uv_xform"] != [1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+               for r in rows):
+            feats.append("uvmap")   # shade-time vector_mapping uv TRS
         # rough conductor/mirror -> enable the multiple-scattering lobe
         import os
         lut_path = os.path.join(os.path.dirname(__file__), "..", "data",
@@ -442,9 +487,12 @@ def _sellmeier_eta(coeffs, lam_nm):
     return jnp.sqrt(jnp.maximum(f + 1.0, 1.0))
 
 
-def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
+def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None,
+                  cos_wo=None):
     """Gather per-lane LobeParams from the table + resolve textured slots.
     mat_id [...] int32 (clamped; invalid lanes get row 0 with zero weights).
+    cos_wo: |n.wo| per lane for shade-time fresnel-driven slots
+    (converter.cpp FresnelNode) — None falls back to the baked average.
 
     With a hero SpectrumModel, colors decode to spectra at swl.lam, conductor
     eta/k gather from metal SPD rows, and dispersive glass evaluates the
@@ -479,6 +527,10 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
                 table.cc_weight, table.cc_alpha, table.sheen_weight,
                 table.sheen_tint, table.flatness, table.metallic,
                 table.metal_id]
+        if "uvmap" in feats:
+            cols.append(table.uv_xform)
+        if "fresmix" in feats and cos_wo is not None:
+            cols += [table.fres_ior, table.fres_a, table.fres_b]
         from ..core.gather import fetch_rows
         fetched = fetch_rows(cols, mid)
         lut = {id(c): v for c, v in zip(cols, fetched)}
@@ -486,25 +538,45 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None):
         def g(col):
             return lut[id(col)]
 
+        # shade-time vector_mapping (converter.cpp:93-105): per-material
+        # TRS over the lookup uv
+        uv_l = uv
+        if "uvmap" in feats:
+            xfm = g(table.uv_xform)
+            uv_l = jnp.stack(
+                [xfm[..., 0] * uv[..., 0] + xfm[..., 1] * uv[..., 1]
+                 + xfm[..., 2],
+                 xfm[..., 3] * uv[..., 0] + xfm[..., 4] * uv[..., 1]
+                 + xfm[..., 5]], -1)
+
         kd = g(table.kd)
         if textured:
             kd_tex = g(table.kd_tex)
-            kd = jnp.where((kd_tex >= 0)[..., None], atlas.sample(kd_tex, uv),
-                           kd)
+            kd = jnp.where((kd_tex >= 0)[..., None],
+                           atlas.sample(kd_tex, uv_l), kd)
+        # shade-time fresnel mix (converter.cpp FresnelNode:26-34)
+        if "fresmix" in feats and cos_wo is not None:
+            fi = g(table.fres_ior)
+            F = frs.fresnel_dielectric(jnp.abs(cos_wo),
+                                       jnp.maximum(fi, 1.0001))
+            kd = jnp.where((fi > 0.0)[..., None],
+                           g(table.fres_a)
+                           + F[..., None] * (g(table.fres_b)
+                                             - g(table.fres_a)), kd)
         kd = decode_alb(kd)
 
         spec_tint = g(table.spec_tint)
         if textured:
             spec_tex = g(table.spec_tex)
             spec_tint = jnp.where((spec_tex >= 0)[..., None],
-                                  atlas.sample(spec_tex, uv), spec_tint)
+                                  atlas.sample(spec_tex, uv_l), spec_tint)
         spec_tint = decode_alb(spec_tint)
 
         ax = g(table.ax)
         ay = g(table.ay)
         if textured:
             rough_tex = g(table.rough_tex)
-            r_sample = atlas.sample(rough_tex, uv)[..., 0]
+            r_sample = atlas.sample(rough_tex, uv_l)[..., 0]
             r_alpha = jnp.where(g(table.rough_remap) > 0, r_sample * r_sample,
                                 r_sample)
             ax = jnp.where(rough_tex >= 0, jnp.maximum(r_alpha, 1e-6), ax)

@@ -191,3 +191,87 @@ def resolve_scalar(raw, atlas_builder, scene_dir=".", default=0.0):
         img = np.repeat(img[..., :1], 3, -1)
     tex = atlas_builder.add_array(img[..., :3])
     return float(default), tex
+
+
+def _const_scalar(raw, default):
+    try:
+        v = fold_slot(raw, default_cs="linear")
+        if v.is_const:
+            return float(v.const.reshape(-1)[0])
+    except Exception:
+        pass
+    return float(default)
+
+
+def _const_rgb(raw, scene_dir, default):
+    v = fold_slot(raw, scene_dir, "srgb")
+    if v.is_const:
+        c = v.const.reshape(-1)
+        c = np.concatenate([c, np.repeat(c[-1:], 3)])[:3]
+        return [float(x) for x in c]
+    img = v.image.reshape(-1, v.image.shape[-1]).mean(0)
+    img = np.concatenate([img, np.repeat(img[-1:], 3)])[:3]
+    return [float(x) for x in img]
+
+
+def detect_fresnel_mix(raw, scene_dir="."):
+    """Shade-time fresnel node (converter.cpp FresnelNode:26-34): returns
+    (ior, A, B) when the slot is `fresnel(ior)` (A=0, B=1) or a mix/lerp
+    whose t is a fresnel node — the runtime blends A..B by
+    fresnel_dielectric(|n.wo|, ior) per lane. None otherwise."""
+    from ..scene.desc import parse_slot
+    try:
+        kind, payload, _ = parse_slot(raw)
+    except Exception:
+        return None
+    if kind == "fresnel":
+        ior = _const_scalar(payload.get("ior", 1.5), 1.5)
+        return ior, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]
+    if kind in ("mix", "lerp"):
+        t = payload.get("t")
+        if t is None:
+            return None
+        try:
+            kt, pt, _ = parse_slot(t)
+        except Exception:
+            return None
+        if kt != "fresnel":
+            return None
+        ior = _const_scalar(pt.get("ior", 1.5), 1.5)
+        A = _const_rgb(payload.get("A", payload.get("lhs", 0.0)),
+                       scene_dir, 0.0)
+        B = _const_rgb(payload.get("B", payload.get("rhs", 1.0)),
+                       scene_dir, 1.0)
+        return ior, A, B
+    return None
+
+
+def detect_uv_mapping(raw):
+    """Shade-time vector_mapping node (converter.cpp VectorMapping:93-105):
+    a TRS over the lookup uv feeding the inner node. Returns
+    (affine [a b tx c d ty], inner_raw) or None. Rotation is the z-Euler
+    angle in DEGREES (u-v plane); scale/location use their xy components."""
+    from ..scene.desc import parse_slot
+    try:
+        kind, payload, channels = parse_slot(raw)
+    except Exception:
+        return None
+    if kind != "vector_mapping":
+        return None
+    s = np.atleast_1d(np.asarray(payload.get("scale", [1.0, 1.0, 1.0]),
+                                 np.float64))
+    r = np.atleast_1d(np.asarray(payload.get("rotation", [0.0, 0.0, 0.0]),
+                                 np.float64))
+    t = np.atleast_1d(np.asarray(payload.get("location", [0.0, 0.0, 0.0]),
+                                 np.float64))
+    sx = s[0] if s.size else 1.0
+    sy = s[1] if s.size > 1 else sx
+    rz = np.deg2rad(r[2] if r.size > 2 else (r[0] if r.size == 1 else 0.0))
+    c_, s_ = np.cos(rz), np.sin(rz)
+    # trs = T * Rz * S applied to (u, v): uv' = Rz @ diag(s) @ uv + t
+    affine = [c_ * sx, -s_ * sy, float(t[0]),
+              s_ * sx, c_ * sy, float(t[1] if t.size > 1 else 0.0)]
+    inner = payload.get("node", payload.get("vector", 0.5))
+    if channels:
+        inner = {"channels": channels, "node": inner}
+    return [float(x) for x in affine], inner
