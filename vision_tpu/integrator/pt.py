@@ -104,20 +104,30 @@ def _morton3(q, bits):
     return m
 
 
+def _rebin_bits():
+    import os
+    return (int(os.environ.get("VT_REBIN_POS", "4")),
+            int(os.environ.get("VT_REBIN_DIR", "5")))
+
+
 def _rebin_perm(scene, ray, act):
     """Lane permutation restoring packet-block coherence for a bounced
-    wavefront: sort by (position morton 5b/axis, direction morton 4b/axis);
-    dead lanes get the max key so they compact into tail blocks that exit
-    after one traversal step (measured on staircase: coherent blocks trace
-    ~4x faster than incoherent ones, and this is the only compaction the
-    regeneration wavefront needs — no dynamic shapes)."""
+    wavefront: sort by (position morton, direction morton); dead lanes get
+    the max key so they compact into tail blocks that exit after one
+    traversal step (measured on staircase: coherent blocks trace ~4x
+    faster than incoherent ones, and this is the only compaction the
+    regeneration wavefront needs — no dynamic shapes). The bit split is
+    measured per round on the real bounce-1 wavefront
+    (tools/profile_iters.py): direction-heavier keys win on interiors
+    because bounce directions diverge faster than positions."""
+    pb_, db_ = _rebin_bits()
     p = (ray.origin - scene.world_lo) * scene.world_inv_extent
-    qp = jnp.clip(p * 32.0, 0.0, 31.0).astype(jnp.uint32)
-    mp = _morton3(qp, 5)                                    # 15 bits
-    qd = jnp.clip((ray.direction * 0.5 + 0.5) * 16.0, 0.0,
-                  15.0).astype(jnp.uint32)
-    md = _morton3(qd, 4)                                    # 12 bits
-    key = (mp << 12) | md
+    qp = jnp.clip(p * (1 << pb_), 0.0, (1 << pb_) - 1).astype(jnp.uint32)
+    mp = _morton3(qp, pb_)
+    qd = jnp.clip((ray.direction * 0.5 + 0.5) * (1 << db_), 0.0,
+                  (1 << db_) - 1).astype(jnp.uint32)
+    md = _morton3(qd, db_)
+    key = (mp << (3 * db_)) | md
     key = jnp.where(act, key, jnp.uint32(1) << 31)
     return jnp.argsort(key)
 
