@@ -86,3 +86,38 @@ class TestDebugUtils:
         from vision_tpu.utils.debug import pixel_debug_mask
         m = np.asarray(pixel_debug_mask((8, 8), (2, 2), (4, 4)))
         assert m.sum() == 4
+
+
+def test_svgf_spatial_moments_and_variance_propagation():
+    """Reference SVGF fidelity (r4 weak #6): on frame 1 the temporal
+    moments carry zero variance, so the spatial 7x7 estimate must kick in;
+    and the a-trous chain must SHRINK variance as passes accumulate
+    (var' = sum w^2 var / (sum w)^2)."""
+    import jax.numpy as jnp
+    from vision_tpu.post import svgf
+
+    rs = np.random.RandomState(0)
+    H = W = 32
+    noise = jnp.asarray(0.5 + 0.3 * rs.randn(H, W, 3).astype(np.float32))
+    albedo = jnp.ones((H, W, 3)) * 0.7
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (H, W, 3))
+
+    # frame-1 spatial variance must see the noise
+    v = svgf._spatial_moments(noise, normal)
+    assert float(v.mean()) > 1e-3
+
+    # variance shrinks through the chain
+    var0 = jnp.full((H, W), 0.09)
+    out, var1 = svgf._atrous_var_pass(noise, var0, normal, albedo, 1)
+    out, var2 = svgf._atrous_var_pass(out, var1, normal, albedo, 2)
+    assert float(var1.mean()) < float(var0.mean())
+    assert float(var2.mean()) < float(var1.mean())
+
+    # end-to-end frame 1: filtering reduces noise on a flat signal
+    state = svgf.init_state(H, W)
+    filtered, _ = svgf.svgf_filter(
+        noise * 0.7, albedo, normal, jnp.ones((H, W)),
+        jnp.zeros((H, W, 2)), state)
+    inp_std = float(jnp.std(noise * 0.7))
+    out_std = float(jnp.std(filtered))
+    assert out_std < 0.5 * inp_std, (inp_std, out_std)

@@ -142,3 +142,48 @@ def test_ply_through_scene():
              "radiance_collector": {"param": {"resolution": [8, 8]}}}}}
     sc = Scene(s, scene_dir=tmp)
     assert sc.data.tri_p0.shape[0] == 3
+
+
+def test_stl_binary_and_ascii():
+    """STL importer (binary + ascii), welded to an indexed mesh with
+    smooth normals (assimp-breadth item)."""
+    import struct as st
+    import tempfile, os
+    from vision_tpu.scene import shapes as shp
+
+    tmp = tempfile.mkdtemp()
+    # one unit quad = 2 triangles sharing an edge
+    tris = [
+        [(0, 0, 0), (1, 0, 0), (1, 1, 0)],
+        [(0, 0, 0), (1, 1, 0), (0, 1, 0)],
+    ]
+    # binary
+    bp = os.path.join(tmp, "q.stl")
+    with open(bp, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(st.pack("<I", len(tris)))
+        for t in tris:
+            f.write(st.pack("<3f", 0, 0, 1))
+            for v in t:
+                f.write(st.pack("<3f", *v))
+            f.write(st.pack("<H", 0))
+    m = shp.load_stl(bp)
+    assert m.num_triangles == 2
+    assert m.positions.shape[0] == 4  # welded shared vertices
+    assert np.allclose(np.abs(m.normals[:, 2]), 1.0, atol=1e-5)
+    # ascii
+    ap = os.path.join(tmp, "qa.stl")
+    with open(ap, "w") as f:
+        f.write("solid q\n")
+        for t in tris:
+            f.write(" facet normal 0 0 1\n  outer loop\n")
+            for v in t:
+                f.write(f"   vertex {v[0]} {v[1]} {v[2]}\n")
+            f.write("  endloop\n endfacet\n")
+        f.write("endsolid q\n")
+    m2 = shp.load_stl(ap)
+    assert m2.num_triangles == 2
+    assert np.allclose(np.sort(m.positions, 0), np.sort(m2.positions, 0))
+    # reachable through the model shape type
+    m3 = shp.make_shape("model", {"fn": "q.stl"}, tmp)
+    assert m3.num_triangles == 2

@@ -48,6 +48,10 @@ def main():
     frame = jax.jit(lambda scene, cam, state: rt.render_realtime(
         scene, cam, state))
     state = rt.RealTimeState.initial((res, res))
+    # two warmup calls: the state pytree changes shape after frame 1
+    # (gbuffer None -> arrays), which forces a second trace/compile
+    img, state = frame(sc.data, sc.camera, state)
+    img.block_until_ready()
     img, state = frame(sc.data, sc.camera, state)
     img.block_until_ready()
     t0 = time.perf_counter()
@@ -71,6 +75,10 @@ def main():
     accum.block_until_ready()
     out["accum_frames"] = frames
     out["accum_seconds"] = round(time.perf_counter() - t0, 1)
+    # steady-state frame time from the accumulation loop itself (immune
+    # to warmup retraces)
+    out["rt_ms_steady"] = round(out["accum_seconds"] / max(frames - 1, 1)
+                                * 1e3, 1)
     ldr = postprocess(sc, np.asarray(accum))
     film.to_png(ldr, "gallery/classroom_rt_accum.png")
     log(f"wrote gallery/classroom_rt_accum.png "

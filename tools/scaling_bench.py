@@ -12,7 +12,12 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
     import jax
+    # the axon plugin force-overrides jax_platforms at import; honor an
+    # explicit JAX_PLATFORMS=cpu (virtual-mesh runs) by re-pinning
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     from vision_tpu.parallel import launch
     from vision_tpu.scene.scene import Scene
 

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.math import luminance, safe_div
-from .denoise import atrous_pass
 
 
 @struct.dataclass
@@ -49,6 +48,74 @@ def _bilinear_reproject(img, motion):
            + tap(x0, y0 + 1) * (1 - fx) * fy + tap(x0 + 1, y0 + 1) * fx * fy)
     in_b = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
     return out, in_b
+
+
+def _shift2d(img, dy, dx):
+    return jnp.roll(img, (dy, dx), axis=(0, 1))
+
+
+def _spatial_moments(illum, normal, var_boost=1.0):
+    """7x7 edge-aware luminance moment estimate (reference filter_moments
+    pass): while temporal history is short the per-pixel moments are too
+    noisy to trust, so variance is estimated from the neighborhood with
+    normal/luminance edge-stopping weights."""
+    lum = luminance(illum)
+    m1 = jnp.zeros_like(lum)
+    m2 = jnp.zeros_like(lum)
+    wsum = jnp.zeros_like(lum)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            ls = _shift2d(lum, dy, dx)
+            ns = _shift2d(normal, dy, dx)
+            w_n = jnp.clip(jnp.sum(ns * normal, -1), 0.0, 1.0) ** 32
+            w_l = jnp.exp(-jnp.abs(ls - lum) * 4.0)
+            w = w_n * w_l
+            m1 = m1 + ls * w
+            m2 = m2 + ls * ls * w
+            wsum = wsum + w
+    m1 = safe_div(m1, wsum)
+    m2 = safe_div(m2, wsum)
+    return jnp.maximum(m2 - m1 * m1, 0.0) * var_boost
+
+
+def _atrous_var_pass(color, var, normal, albedo, step, sigma_rt=4.0,
+                     sigma_normal=128.0, sigma_albedo=8.0):
+    """One variance-guided a-trous iteration that ALSO filters the variance
+    (reference SVGF/svgf.h: var' = sum w^2 var / (sum w)^2, and the
+    luminance sigma uses a 3x3-prefiltered sqrt(var) per ITERATION rather
+    than a fixed initial estimate)."""
+    k5 = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
+    # 3x3 gaussian prefilter of the variance for the luminance sigma
+    g = jnp.zeros_like(var)
+    k3 = [0.25, 0.5, 0.25]
+    for j in range(3):
+        for i in range(3):
+            g = g + k3[j] * k3[i] * _shift2d(var, j - 1, i - 1)
+    denom = sigma_rt * jnp.sqrt(jnp.maximum(g, 0.0)) + 1e-4
+    lum_c = luminance(color)
+    acc = jnp.zeros_like(color)
+    vacc = jnp.zeros_like(var)
+    wsum = jnp.zeros_like(var)
+    for j in range(5):
+        for i in range(5):
+            dy = (j - 2) * step
+            dx = (i - 2) * step
+            k = k5[j] * k5[i]
+            c = _shift2d(color, dy, dx)
+            v = _shift2d(var, dy, dx)
+            n = _shift2d(normal, dy, dx)
+            a = _shift2d(albedo, dy, dx)
+            w_n = jnp.power(jnp.clip(jnp.sum(n * normal, -1), 0.0, 1.0),
+                            sigma_normal)
+            w_l = jnp.exp(-safe_div(jnp.abs(luminance(c) - lum_c), denom))
+            w_a = jnp.exp(-jnp.sum(jnp.abs(a - albedo), -1) * sigma_albedo)
+            w = k * w_n * w_l * w_a
+            acc = acc + c * w[..., None]
+            vacc = vacc + v * w * w
+            wsum = wsum + w
+    out = safe_div(acc, wsum[..., None])
+    out_var = safe_div(vacc, jnp.maximum(wsum * wsum, 1e-12))
+    return out, out_var
 
 
 def svgf_filter(color, albedo, normal, depth, motion, prev_state,
@@ -87,18 +154,21 @@ def svgf_filter(color, albedo, normal, depth, motion, prev_state,
     mom = jnp.stack([lum, lum * lum], -1)
     mom_acc = jnp.where(valid[..., None], prev_mom + (mom - prev_mom) * am, mom)
 
-    # ---- variance ----
-    var = jnp.maximum(mom_acc[..., 1] - mom_acc[..., 0] ** 2, 0.0)
-    # boost spatial filtering while history is short
-    var = var * jnp.maximum(1.0, 4.0 / hist)
+    # ---- variance: temporal moments when history suffices, spatial
+    # moment estimation while it is short (reference filter_moments) ----
+    var_t = jnp.maximum(mom_acc[..., 1] - mom_acc[..., 0] ** 2, 0.0)
+    var_s = _spatial_moments(illum_acc, normal,
+                             var_boost=jnp.maximum(1.0, 4.0 / hist))
+    var = jnp.where(hist >= 4.0, var_t, var_s)
 
-    # ---- a-trous passes, variance-guided luminance sigma ----
+    # ---- a-trous passes: variance rides the filter chain (w^2 update),
+    # and each pass re-derives its luminance sigma from the current
+    # 3x3-prefiltered variance (SVGF/svgf.h atrous loop) ----
     out = illum_acc
-    sig = safe_div(sigma_rt, jnp.sqrt(var) + 1e-3)
     for p in range(n_passes):
-        out = atrous_pass(out, normal, albedo, 1 << p,
-                          sigma_rt=jnp.clip(sig, 0.5, 50.0),
-                          sigma_normal=sigma_normal)
+        out, var = _atrous_var_pass(out, var, normal, albedo, 1 << p,
+                                    sigma_rt=4.0,
+                                    sigma_normal=sigma_normal)
 
     filtered = out * jnp.maximum(albedo, 1e-3)  # re-modulate
     new_state = SVGFState(illum=illum_acc, moments=mom_acc, history=hist)

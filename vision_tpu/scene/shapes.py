@@ -219,7 +219,58 @@ def load_model(path, **kw):
         return load_gltf(path, node=gltf_node, prim=gltf_prim)
     if ext == ".ply":
         return load_ply(path)
+    if ext == ".stl":
+        return load_stl(path)
     raise ValueError(f"unsupported mesh format: {ext}")
+
+
+def load_stl(path):
+    """STL mesh (binary + ascii). STL is a triangle soup with no shared
+    vertices or uvs; vertices are welded by position so vertex normals can
+    smooth, and uvs default to zero (importer breadth beyond OBJ/glTF/PLY
+    — the reference gets this from assimp, assimp_parser.h:36-60)."""
+    with open(path, "rb") as f:
+        head = f.read(80)
+        rest = f.read()
+    is_ascii = head[:5].lower() == b"solid" and b"facet" in rest[:2048]
+    tris = []
+    if is_ascii:
+        txt = (head + rest).decode("utf-8", errors="ignore")
+        cur = []
+        for line in txt.splitlines():
+            t = line.strip().split()
+            if len(t) >= 4 and t[0] == "vertex":
+                cur.append([float(t[1]), float(t[2]), float(t[3])])
+                if len(cur) == 3:
+                    tris.append(cur)
+                    cur = []
+        verts = np.asarray(tris, np.float32).reshape(-1, 3)
+    else:
+        n = int.from_bytes(rest[:4], "little")
+        data = np.frombuffer(rest[4:4 + n * 50], np.uint8)
+        if len(data) < n * 50:
+            raise ValueError("truncated binary STL")
+        rec = data.reshape(n, 50)
+        verts = rec[:, 12:48].copy().view(np.float32).reshape(-1, 3)
+    if len(verts) == 0:
+        raise ValueError("empty STL")
+    # weld duplicate positions -> indexed mesh with smooth normals
+    key = np.round(verts.astype(np.float64) * 1e5).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    P = np.zeros((len(uniq), 3), np.float32)
+    np.maximum.at(P, inv, verts)  # representative position per weld cell
+    T = inv.reshape(-1, 3).astype(np.int64)
+    # drop degenerate faces produced by welding
+    good = ((T[:, 0] != T[:, 1]) & (T[:, 1] != T[:, 2])
+            & (T[:, 0] != T[:, 2]))
+    T = T[good]
+    fn = np.cross(P[T[:, 1]] - P[T[:, 0]], P[T[:, 2]] - P[T[:, 0]])
+    N = np.zeros_like(P)
+    for k in range(3):
+        np.add.at(N, T[:, k], fn)
+    N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+    UV = np.zeros((len(P), 2), np.float32)
+    return TriMesh(P, N.astype(np.float32), UV, T)
 
 
 def load_ply(path):
