@@ -121,3 +121,38 @@ def test_svgf_spatial_moments_and_variance_propagation():
     inp_std = float(jnp.std(noise * 0.7))
     out_std = float(jnp.std(filtered))
     assert out_std < 0.5 * inp_std, (inp_std, out_std)
+
+
+def test_visualizer_overlays():
+    """Visualizer (base/sensor/visualizer.h counterpart): world-space
+    segments project through the camera and draw; normal whiskers and path
+    overlays mark pixels."""
+    import copy
+    import jax.numpy as jnp
+    from tests.fixtures import CBOX_JSON
+    from vision_tpu.scene.scene import Scene
+    from vision_tpu.sensor import visualizer as vz
+
+    s = copy.deepcopy(CBOX_JSON)
+    s["camera"]["param"]["radiance_collector"]["param"][
+        "resolution"] = [48, 48]
+    sc = Scene(s)
+    # projection: a point straight ahead of the camera lands mid-frame
+    r, front = vz.world_to_raster(sc.camera, np.array([[0.0, 1.0, 0.0]]))
+    assert front[0]
+    assert abs(r[0, 0] - 24.0) < 1.0 and abs(r[0, 1] - 24.0) < 1.0
+    # behind the camera is culled
+    _, back = vz.world_to_raster(sc.camera, np.array([[0.0, 1.0, 99.0]]))
+    assert not back[0]
+
+    img = np.zeros((48, 48, 3), np.float32)
+    vz.draw_segments(img, [[-0.5, 1.0, 0.0]], [[0.5, 1.0, 0.0]], sc.camera)
+    assert (img[..., 0] > 0.5).sum() >= 8  # a horizontal red line
+
+    img2 = np.zeros((48, 48, 3), np.float32)
+    vz.overlay_normals(img2, sc.data, sc.camera, stride=16)
+    assert (img2[..., 1] > 0.5).any()
+
+    img3 = np.zeros((48, 48, 3), np.float32)
+    vz.overlay_rays(img3, sc.data, sc.camera, [24 * 48 + 24], max_depth=2)
+    assert (img3.sum(-1) > 0).any()
