@@ -68,8 +68,11 @@ def main():
         img, state = frame(sc.data, sc.camera, state)
         w = 1.0 / (i + 1)
         accum = accum * (1.0 - w) + img * w
-        if i % 128 == 0:
+        # block every few frames: an unbounded async chain of ~1000
+        # dependent launches wedged the device tunnel in the first run
+        if i % 16 == 0:
             accum.block_until_ready()
+        if i % 128 == 0:
             log(f"  frame {i}/{frames} "
                 f"({(time.perf_counter()-t0)/i*1e3:.0f} ms/frame avg)")
     accum.block_until_ready()
