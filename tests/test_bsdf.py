@@ -197,3 +197,69 @@ class TestEnergyCompensation:
         e_comp = furnace(mk)
         assert e_raw < 0.8
         assert abs(e_comp - 1.0) < 0.08, e_comp
+
+
+class TestSheenLTC:
+    """LTC sheen lobe (self-fit table; reference SheenLTC,
+    principled_bsdf.cpp:17-118)."""
+
+    def _params(self, alpha=0.5, R=256):
+        import jax.numpy as jnp
+        from vision_tpu.shading import bsdf as ub
+        import numpy as np_
+        import os
+        tab = np_.load(os.path.join("vision_tpu", "data",
+                                    "sheen_ltc.npz"))["table"]
+        ones = jnp.ones((R,))
+        zeros = jnp.zeros((R,))
+        c3 = jnp.ones((R, 3))
+        return ub.LobeParams(
+            kd=c3 * 0.0, sigma=zeros, diffuse_kind=zeros.astype(jnp.int32),
+            diffuse_weight=zeros, spec_tint=c3, ax=ones * 1e-3,
+            ay=ones * 1e-3, fr_mode=zeros.astype(jnp.int32), eta=c3 * 1.5,
+            eta3=c3, k3=c3 * 0.0, spec_weight=zeros, trans_weight=zeros,
+            cc_weight=zeros, cc_alpha=ones * 0.1, sheen_weight=ones,
+            sheen_tint=c3, flatness=zeros, metallic=zeros,
+            feats=("sheen",), sheen_ltc=jnp.asarray(tab),
+            sheen_alpha=ones * alpha)
+
+    def test_pdf_normalized_and_furnace_bounded(self):
+        import jax.numpy as jnp
+        from vision_tpu.shading import bsdf as ub
+        # quadrature grid over the hemisphere
+        NT, NP = 64, 128
+        t = (np.arange(NT) + 0.5) / NT * (np.pi / 2)
+        ph = (np.arange(NP) + 0.5) / NP * 2 * np.pi
+        T, P = np.meshgrid(t, ph, indexing="ij")
+        wi = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                       np.cos(T)], -1).reshape(-1, 3)
+        dw = (np.sin(T) * (np.pi / 2 / NT) * (2 * np.pi / NP)).reshape(-1)
+        R = len(wi)
+        p = self._params(alpha=0.4, R=R)
+        for co in (0.9, 0.5, 0.15):
+            wo = jnp.broadcast_to(
+                jnp.asarray([np.sqrt(1 - co * co), 0.0, co]), (R, 3))
+            f, pdf = ub._eval_sheen(p, wo, jnp.asarray(wi))
+            ipdf = float(np.sum(np.asarray(pdf) * dw))
+            assert abs(ipdf - 1.0) < 0.05, (co, ipdf)  # LTC density norm.
+            # energy: integral of f cos <= 1 (R clamped)
+            e = float(np.sum(np.asarray(f)[:, 0] * wi[:, 2] * dw))
+            assert e <= 1.05, (co, e)
+            assert e > 0.01
+
+    def test_sample_eval_consistent(self):
+        import jax.numpy as jnp
+        from vision_tpu.shading import bsdf as ub
+        from vision_tpu.core import rng
+        R = 4096
+        p = self._params(alpha=0.3, R=R)
+        wo = jnp.broadcast_to(jnp.asarray([0.6, 0.0, 0.8]), (R, 3))
+        st = rng.seed(jnp.arange(R, dtype=jnp.uint32), jnp.uint32(9))
+        st, bs = ub.sample(p, wo, st)
+        ok = np.asarray(bs.valid)
+        assert ok.mean() > 0.9
+        # E[f cos / pdf] == directional albedo (= R*tint) — finite + <= 1
+        thr = np.asarray(bs.ev.f)[:, 0] * np.abs(np.asarray(
+            bs.wi[:, 2])) / np.maximum(np.asarray(bs.ev.pdf), 1e-9)
+        est = thr[ok].mean()
+        assert 0.05 < est <= 1.1, est

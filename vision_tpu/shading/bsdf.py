@@ -83,6 +83,11 @@ class LobeParams:
     # PureReflectionLobe energy compensation in the reference)
     ems_E: jnp.ndarray = None       # [Na, Nmu]
     ems_Eavg: jnp.ndarray = None    # [Na]
+    # self-fit LTC sheen table (tools/gen_sheen_ltc.py; the reference's
+    # SheenLTC lobe, principled_bsdf.cpp:17-118): [32, 32, 3] over
+    # (cos_theta_o, alpha) -> (a, b, R). None -> Burley sheen fallback.
+    sheen_ltc: jnp.ndarray = None
+    sheen_alpha: jnp.ndarray = None  # [...] sheen roughness (LTC table axis)
     # LobeSet mixture (lobe.h:277-330 create_mix/create_add): a second full
     # parameter row plus per-row weights. f = wa*f_a + wb*f_b; sampling uses
     # normalized weights as the one-sample-MIS mixture pdf. Non-mixture lanes
@@ -277,14 +282,83 @@ def _eval_clearcoat(p, wo, wi):
     return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
 
 
+def _sheen_ltc_coeffs(p, wo):
+    """Bilinear (a, b, R) fetch from the self-fit LTC sheen table over
+    (|cos_theta_o|, alpha). Mirrors SheenLTC::fetch_ltc."""
+    T = p.sheen_ltc                      # [32, 32, 3]
+    n = T.shape[0]
+    alpha = (p.sheen_alpha if p.sheen_alpha is not None
+             else jnp.full(wo.shape[:-1], 0.5))
+
+    def axis(v):
+        t = jnp.clip(v * n - 0.5, 0.0, n - 1.0)
+        i0 = jnp.clip(t.astype(jnp.int32), 0, n - 1)
+        i1 = jnp.clip(i0 + 1, 0, n - 1)
+        return i0, i1, (t - i0.astype(jnp.float32))[..., None]
+
+    c0, c1, fc = axis(abs_cos_theta(wo))
+    a0, a1, fa = axis(jnp.clip(alpha, 1e-3, 1.0))
+    v = ((T[c0, a0] * (1 - fa) + T[c0, a1] * fa) * (1 - fc)
+         + (T[c1, a0] * (1 - fa) + T[c1, a1] * fa) * fc)
+    return v[..., 0], v[..., 1], jnp.clip(v[..., 2], 0.0, 1.0)
+
+
+def _sheen_azimuth(wo):
+    """cos/sin of wo's azimuth: the LTC skew axis (b) lives in the plane
+    of incidence, so wi rotates into the frame where wo.y == 0."""
+    r = jnp.sqrt(wo[..., 0] ** 2 + wo[..., 1] ** 2)
+    ok = r > 1e-8
+    return (jnp.where(ok, wo[..., 0] / jnp.maximum(r, 1e-8), 1.0),
+            jnp.where(ok, wo[..., 1] / jnp.maximum(r, 1e-8), 0.0))
+
+
 def _eval_sheen(p, wo, wi):
-    """Lobe 4: Burley sheen — schlick-weight grazing retro lobe."""
+    """Lobe 4: sheen. LTC lobe when the self-fit table is present
+    (SheenLTC::evaluate_local_impl: f = R tint ltc / cos_i, pdf = ltc);
+    Burley schlick-weight fallback otherwise."""
     valid = same_hemisphere(wo, wi)
-    wh = normalize(wo + wi)
-    cos_d = jnp.abs(dot(wi, wh))
-    f = p.sheen_tint * fr.schlick_weight(cos_d)[..., None]
-    pdf = warp.cosine_hemisphere_pdf(abs_cos_theta(wi))
-    return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
+    if p.sheen_ltc is None:
+        wh = normalize(wo + wi)
+        cos_d = jnp.abs(dot(wi, wh))
+        f = p.sheen_tint * fr.schlick_weight(cos_d)[..., None]
+        pdf = warp.cosine_hemisphere_pdf(abs_cos_theta(wi))
+        return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
+    a, b, R = _sheen_ltc_coeffs(p, wo)
+    ca, sa_ = _sheen_azimuth(wo)
+    sgn = jnp.sign(cos_theta(wo))
+    sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+    # rotate wi into the incidence frame, mirror to the upper hemisphere
+    x = ca * wi[..., 0] + sa_ * wi[..., 1]
+    y = -sa_ * wi[..., 0] + ca * wi[..., 1]
+    z = wi[..., 2] * sgn
+    # ltc density: cosine pushed through M (eval_ltc: inv_M + jacobian)
+    xi = a * x + b * z
+    yi = a * y
+    l2 = xi * xi + yi * yi + z * z
+    ln = jnp.sqrt(jnp.maximum(l2, 1e-12))
+    cz = jnp.clip(z / ln, 0.0, 1.0)
+    ltc = cz / jnp.pi * (a * a) / jnp.maximum(l2 * ln, 1e-12)
+    f = (p.sheen_tint * (R * ltc)[..., None]
+         / jnp.maximum(abs_cos_theta(wi), 1e-6)[..., None])
+    return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, ltc, 0.0)
+
+
+def _sample_sheen_ltc(p, wo, u2):
+    """SheenLTC::sample_wi_local_impl: cosine sample pushed through M,
+    rotated back out of the incidence frame."""
+    a, b, R = _sheen_ltc_coeffs(p, wo)
+    ca, sa_ = _sheen_azimuth(wo)
+    sgn = jnp.sign(cos_theta(wo))
+    sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+    v = warp.square_to_cosine_hemisphere(u2)
+    # M(v) = ((x - b z)/a, y/a, z)
+    x = (v[..., 0] - b * v[..., 2]) / jnp.maximum(a, 1e-6)
+    y = v[..., 1] / jnp.maximum(a, 1e-6)
+    z = v[..., 2]
+    # rotate back by +azimuth, restore hemisphere
+    wx = ca * x - sa_ * y
+    wy = sa_ * x + ca * y
+    return normalize(jnp.stack([wx, wy, z * sgn], -1))
 
 
 # ---------------------------------------------------------------------------
@@ -355,8 +429,14 @@ def _lobe_weights(p, wo):
                * jnp.maximum(1.0 - _mean_s(F_diel), 0.0)
                if p.has("trans") else zero)
     w_cc = p.cc_weight * 0.25 if p.has("cc") else zero
-    w_sheen = (p.sheen_weight * _mean_s(p.sheen_tint) * 0.08
-               if p.has("sheen") else zero)
+    if p.has("sheen"):
+        sheen_scale = 0.08
+        if p.sheen_ltc is not None:
+            _, _, R_sh = _sheen_ltc_coeffs(p, wo)
+            sheen_scale = jnp.maximum(R_sh, 0.02)
+        w_sheen = p.sheen_weight * _mean_s(p.sheen_tint) * sheen_scale
+    else:
+        w_sheen = zero
     w = jnp.stack([w_diff, w_spec, w_trans, w_cc, w_sheen], axis=-1)
     total = jnp.sum(w, axis=-1, keepdims=True)
     return safe_div(w, total), total[..., 0]
@@ -465,6 +545,11 @@ def _sample_single(p, wo, state):
 
     # lobe 0/4: cosine hemisphere on wo side
     wi = warp.square_to_cosine_hemisphere(u2) * sgn
+    if p.has("sheen") and p.sheen_ltc is not None:
+        # lobe 4: LTC sheen draws through the M transform so its sampling
+        # density equals _eval_sheen's pdf (consistent one-sample MIS)
+        wi_sh = _sample_sheen_ltc(p, wo, u2)
+        wi = jnp.where((lobe == 4)[..., None], wi_sh, wi)
 
     if p.has("spec") or p.has("trans"):
         # lobe 1: reflect about sampled wh

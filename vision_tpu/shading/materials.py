@@ -76,6 +76,8 @@ class MaterialTable:
     fres_a: jnp.ndarray = None     # [M, 3] color at F=0
     fres_b: jnp.ndarray = None     # [M, 3] color at F=1
     uv_xform: jnp.ndarray = None   # [M, 6] uv' = [a b;c d]@uv + (tx,ty)
+    sheen_rough: jnp.ndarray = None  # [M] sheen LTC roughness
+    sheen_ltc: jnp.ndarray = None    # [32, 32, 3] self-fit LTC table
 
 
 def _default_row():
@@ -88,7 +90,7 @@ def _default_row():
         eta3=[1.0, 1.0, 1.0], k3=[0.0, 0.0, 0.0],
         spec_weight=0.0, trans_weight=0.0,
         cc_weight=0.0, cc_alpha=0.01,
-        sheen_weight=0.0, sheen_tint=[0.0, 0.0, 0.0],
+        sheen_weight=0.0, sheen_tint=[0.0, 0.0, 0.0], sheen_rough=0.5,
         flatness=0.0, metallic=0.0,
         dispersive_id=-1, metal_id=-1,
         mix_b=-1, mix_wa=1.0, mix_wb=0.0, frac_tex=-1,
@@ -324,8 +326,10 @@ class MaterialCompiler:
         ior = self._slot_scalar(p, "ior", 1.5)[0]
         metallic = self._slot_scalar(p, "metallic", 0.0)[0]
         spec_trans = self._slot_scalar(p, "spec_trans", 0.0)[0]
-        sheen = self._slot_scalar(p, "sheen", 0.0)[0]
+        sheen = self._slot_scalar(p, "sheen",
+                                  p.as_float("sheen_weight", 0.0))[0]
         sheen_tint = self._slot_scalar(p, "sheen_tint", 0.0)[0]
+        sheen_rough = self._slot_scalar(p, "sheen_roughness", 0.5)[0]
         cc = self._slot_scalar(p, "clearcoat", 0.0)[0]
         cc_alpha = self._slot_scalar(p, "clearcoat_alpha", 0.1)[0]
         flatness = self._slot_scalar(p, "flatness", 0.0)[0]
@@ -349,7 +353,9 @@ class MaterialCompiler:
                    spec_tint=kd if spec_trans > 0 else [1.0, 1.0, 1.0],
                    cc_weight=cc, cc_alpha=max(float(cc_alpha), 1e-3),
                    sheen_weight=sheen * (1.0 - metallic),
-                   sheen_tint=stint, flatness=flatness, metallic=metallic)
+                   sheen_tint=stint, sheen_rough=float(np.clip(
+                       sheen_rough, 1.0 / 32, 1.0)),
+                   flatness=flatness, metallic=metallic)
 
     def _mat_subsurface(self, row, p):
         """Subsurface = rough dielectric interface + homogeneous interior
@@ -434,6 +440,7 @@ class MaterialCompiler:
             k_rows.append(kk)
         arrs["metal_eta_spd"] = jnp.asarray(np.stack(eta_rows))
         arrs["metal_k_spd"] = jnp.asarray(np.stack(k_rows))
+        import os
         feats = []
         rows = self.rows
         if any(r["diffuse_weight"] > 0 for r in rows):
@@ -446,6 +453,11 @@ class MaterialCompiler:
             feats.append("cc")
         if any(r["sheen_weight"] > 0 for r in rows):
             feats.append("sheen")
+            ltc_path = os.path.join(os.path.dirname(__file__), "..",
+                                    "data", "sheen_ltc.npz")
+            if os.path.exists(ltc_path):
+                arrs["sheen_ltc"] = jnp.asarray(
+                    np.load(ltc_path)["table"])
         if any(r["sigma"] > 0 for r in rows):
             feats.append("oren")
         if any(r["diffuse_kind"] == bsdf.DIFF_FRESNEL_BLEND for r in rows):
@@ -462,7 +474,6 @@ class MaterialCompiler:
                for r in rows):
             feats.append("uvmap")   # shade-time vector_mapping uv TRS
         # rough conductor/mirror -> enable the multiple-scattering lobe
-        import os
         lut_path = os.path.join(os.path.dirname(__file__), "..", "data",
                                 "ggx_energy.npz")
         metalish = {frs.FR_CONSTANT, frs.FR_CONDUCTOR, frs.FR_F82}
@@ -526,7 +537,7 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None,
                 table.fr_mode, table.spec_weight, table.trans_weight,
                 table.cc_weight, table.cc_alpha, table.sheen_weight,
                 table.sheen_tint, table.flatness, table.metallic,
-                table.metal_id]
+                table.metal_id, table.sheen_rough]
         if "uvmap" in feats:
             cols.append(table.uv_xform)
         if "fresmix" in feats and cos_wo is not None:
@@ -619,6 +630,8 @@ def gather_params(table, atlas, mat_id, uv, spectrum=None, swl=None,
             cc_weight=g(table.cc_weight) * wvalid, cc_alpha=g(table.cc_alpha),
             sheen_weight=g(table.sheen_weight) * wvalid,
             sheen_tint=sheen_tint,
+            sheen_alpha=g(table.sheen_rough),
+            sheen_ltc=getattr(table, "sheen_ltc", None),
             flatness=g(table.flatness), metallic=g(table.metallic),
             feats=feats,
             ems_E=getattr(table, "ems_E", None),
