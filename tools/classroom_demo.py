@@ -31,6 +31,7 @@ def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     opt_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    section = sys.argv[4] if len(sys.argv) > 4 else "all"
 
     from vision_tpu.scene.scene import Scene
     from vision_tpu.integrator import realtime as rt
@@ -38,6 +39,8 @@ def main():
     from vision_tpu.render import postprocess
 
     out = {}
+    if os.path.exists("CLASSROOM_DEMO.json"):
+        out = json.load(open("CLASSROOM_DEMO.json"))
     sc = Scene(SCENE)
     sc.raw["camera"]["param"]["radiance_collector"]["param"][
         "resolution"] = [res, res]
@@ -45,6 +48,21 @@ def main():
     log(f"classroom: {sc.data.tri_p0.shape[0]} tris res={res}")
 
     # ---- real-time accumulation to the spp target ----
+    if section in ("all", "accum"):
+        _accum(sc, res, frames, out)
+    if section in ("all", "opt"):
+        _optimize(sc, res, opt_steps, out)
+    json.dump(out, open("CLASSROOM_DEMO.json", "w"), indent=1)
+    log("wrote CLASSROOM_DEMO.json")
+
+
+def _accum(sc, res, frames, out):
+    import jax
+    from vision_tpu.integrator import realtime as rt
+    from vision_tpu.sensor import film
+    from vision_tpu.render import postprocess
+    import jax.numpy as jnp
+    import numpy as np
     frame = jax.jit(lambda scene, cam, state: rt.render_realtime(
         scene, cam, state))
     state = rt.RealTimeState.initial((res, res))
@@ -87,27 +105,21 @@ def main():
     log(f"wrote gallery/classroom_rt_accum.png "
         f"({out['accum_seconds']}s for {frames} frames)")
 
+
+def _optimize(sc, res, opt_steps, out):
     # ---- differentiable texture/light recovery on the real scene ----
+    import time
+    import jax.numpy as jnp
+    from vision_tpu.scene.scene import Scene
     from vision_tpu.diff import optimize as opt
-    from vision_tpu.integrator import pt
-    from vision_tpu.core import rng
     res_o = min(res, 128)
     sc.raw["camera"]["param"]["radiance_collector"]["param"][
         "resolution"] = [res_o, res_o]
     sco = Scene(sc.raw, scene_dir=sc.scene_dir)
-    R = res_o * res_o
-    pix = jnp.arange(R, dtype=jnp.uint32)
-    p_film = jnp.stack([(pix % res_o).astype(jnp.float32) + 0.5,
-                        (pix // res_o).astype(jnp.float32) + 0.5], -1)
-    ray = sco.camera.generate_ray(p_film, jnp.zeros((R, 2)))
 
-    @jax.jit
-    def render_target(scene):
-        st = rng.seed(pix, jnp.uint32(7))
-        L, _ = pt.radiance(scene, ray, st, max_depth=3)
-        return L
-
-    target = render_target(sco.data)
+    # target through the SAME render path + RNG stream the loss uses
+    target = opt.render_with_params(sco.data, sco.camera, {}, 7,
+                                    max_depth=3)
     target.block_until_ready()
     log("target rendered; perturbing materials+lights and recovering")
 
@@ -121,15 +133,14 @@ def main():
     t0 = time.perf_counter()
     params, losses = opt.optimize_scene(
         sco.data, sco.camera, target, groups=("materials", "lights"),
-        steps=opt_steps, lr=5e-2, max_depth=3, verbose=True)
+        steps=opt_steps, lr=5e-2, max_depth=3, verbose=True,
+        fixed_frame=7)
     out["opt_steps"] = opt_steps
     out["opt_seconds"] = round(time.perf_counter() - t0, 1)
     out["opt_loss_first"] = round(losses[0], 6)
     out["opt_loss_last"] = round(losses[-1], 6)
     log(f"recovery: loss {losses[0]:.5f} -> {losses[-1]:.5f} "
         f"in {out['opt_seconds']}s")
-    json.dump(out, open("CLASSROOM_DEMO.json", "w"), indent=1)
-    log("wrote CLASSROOM_DEMO.json")
 
 
 if __name__ == "__main__":

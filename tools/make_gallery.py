@@ -122,6 +122,29 @@ def main():
        res=512)
     do("prism_hero_256_128spp", f"{REF}/cbox/cbox-prism.json", 128, res=256)
 
+    # 7. light_field framebuffer: 3x3 sub-aperture grid over a wide-open
+    #    thin lens + shift-sum refocus to near/far planes
+    t0 = time.time()
+    from vision_tpu.render import render_light_field
+    from vision_tpu.sensor import light_field as lfm
+    lf_s = copy.deepcopy(CBOX_JSON)
+    lf_s["camera"]["param"]["radiance_collector"]["param"][
+        "resolution"] = [192, 192]
+    lf_s["camera"]["param"]["lens_radius"] = 0.22
+    lf_s["camera"]["param"]["focal_distance"] = 5.5
+    sc_lf = Scene(lf_s)
+    tiles = render_light_field(sc_lf, spp=64, grid=3)
+    film.to_png(postprocess(sc_lf, np.asarray(lfm.mosaic(tiles))),
+                os.path.join(OUT, "lightfield_grid_3x3.png"))
+    near = np.asarray(lfm.refocus(tiles, 10.0))
+    far = np.asarray(lfm.refocus(tiles, -10.0))
+    film.to_png(postprocess(sc_lf, np.concatenate([near, far], axis=1)),
+                os.path.join(OUT, "lightfield_refocus_near_far.png"))
+    report["lightfield"] = {"grid": 3, "spp": 64,
+                            "sec": round(time.time() - t0, 1)}
+    print(f"[gallery] lightfield: {report['lightfield']['sec']}s",
+          flush=True)
+
     with open(os.path.join(OUT, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
