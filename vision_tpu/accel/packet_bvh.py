@@ -146,6 +146,7 @@ def build_packet_bvh(p0, p1, p2, brick=BRICK):
         tri[valid, 0:3] = sp0[src[valid]]
         tri[valid, 3:6] = sp1[src[valid]] - sp0[src[valid]]
         tri[valid, 6:9] = sp2[src[valid]] - sp0[src[valid]]
+        _fill_woop(tri, valid, sp0, sp1, sp2, src[valid])
         prim_order[valid] = order[src[valid]]
 
     link8, aabb8, n_pad, shift = _octant_tables(
@@ -227,6 +228,27 @@ def _octant_tables(r, brick_of_node, n_nodes):
             aabb8.reshape(-1, 128), n_pad, shift)
 
 
+def _fill_woop(tri, valid, sp0, sp1, sp2, src_valid):
+    """Woop unit-triangle transform rows (cols 9-20): a hit solves
+    (u, v, t') = Minv @ (p - p0) with Minv = [e1 e2 n]^-1; the kernel
+    forms o' = Minv o - c (c = Minv p0) and d' = Minv d, then
+    t = -o'_z/d'_z, u = o'_x + t d'_x, v = o'_y + t d'_y. ~20% fewer VPU
+    ops per sweep chunk than Moller-Trumbore (A/B via VT_WOOP)."""
+    a = sp0[src_valid].astype(np.float64)
+    e1 = sp1[src_valid].astype(np.float64) - a
+    e2 = sp2[src_valid].astype(np.float64) - a
+    n = np.cross(e1, e2)
+    A = np.stack([e1, e2, n], axis=-1)          # [k, 3, 3] columns
+    det = np.linalg.det(A)
+    ok = np.abs(det) > 1e-24
+    Ainv = np.zeros_like(A)
+    if ok.any():
+        Ainv[ok] = np.linalg.inv(A[ok])
+    c = np.einsum("kij,kj->ki", Ainv, a)
+    tri[valid, 9:18] = Ainv.reshape(-1, 9).astype(np.float32)
+    tri[valid, 18:21] = c.astype(np.float32)
+
+
 def _ray_rows(rays_ref):
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -286,6 +308,47 @@ def _mt_rows(tri_scr, row, ox, oy, oz, dx, dy, dz):
     return t, u, v, ok
 
 
+def _mt_rows_woop(tri_scr, row, ox, oy, oz, dx, dy, dz):
+    """Woop unit-triangle sweep: rays transformed per triangle by the
+    precomputed Minv|c rows (cols 9-20). Same (t, u, v, ok) contract as
+    _mt_rows with ~20% fewer VPU ops on paper — MEASURED A WASH on v5e
+    (staircase wave 1.66 vs 1.68 Mrays/s): the sweep is not op-issue
+    bound. Kept behind VT_WOOP=1 as the measured record; MT stays the
+    default."""
+    sl = pl.ds(pl.multiple_of(row, TSUB), TSUB)
+    m00 = tri_scr[sl, 9:10]
+    m01 = tri_scr[sl, 10:11]
+    m02 = tri_scr[sl, 11:12]
+    m10 = tri_scr[sl, 12:13]
+    m11 = tri_scr[sl, 13:14]
+    m12 = tri_scr[sl, 14:15]
+    m20 = tri_scr[sl, 15:16]
+    m21 = tri_scr[sl, 16:17]
+    m22 = tri_scr[sl, 17:18]
+    cu = tri_scr[sl, 18:19]
+    cv = tri_scr[sl, 19:20]
+    cw = tri_scr[sl, 20:21]
+    ou = m00 * ox + m01 * oy + m02 * oz - cu
+    ov = m10 * ox + m11 * oy + m12 * oz - cv
+    ow = m20 * ox + m21 * oy + m22 * oz - cw
+    du = m00 * dx + m01 * dy + m02 * dz
+    dv = m10 * dx + m11 * dy + m12 * dz
+    dw = m20 * dx + m21 * dy + m22 * dz
+    den_ok = jnp.abs(dw) > 1e-12
+    inv = 1.0 / jnp.where(den_ok, dw, 1.0)
+    t = -ow * inv
+    u = ou + t * du
+    v = ov + t * dv
+    ok = (den_ok & (u >= -_EDGE_EPS) & (v >= -_EDGE_EPS)
+          & (u + v <= 1.0 + _EDGE_EPS) & (t > 0.0))
+    return t, u, v, ok
+
+
+def _isect_chunk(woop, tri_scr, row, ox, oy, oz, dx, dy, dz):
+    fn = _mt_rows_woop if woop else _mt_rows
+    return fn(tri_scr, row, ox, oy, oz, dx, dy, dz)
+
+
 def _slab2(l, r, lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
            ox, oy, oz, ix, iy, iz):
     """Fused slab test of BOTH children (rows: [left, right]) -> (2, RT)
@@ -312,7 +375,7 @@ def _any2(mask2):
     return red[0, 0] > 0.5, red[1, 0] > 0.5
 
 
-def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
+def _closest_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
                     loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
                     out_ref, best_ref, stack_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -341,7 +404,7 @@ def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
 
         def chunk(k, carry):
             bt_, bi_, bu_, bv_ = carry
-            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             t = jnp.where(ok, t, _BIG)
             tmin = jnp.min(t, axis=0, keepdims=True)
@@ -439,7 +502,7 @@ def _closest_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
     out_ref[6:8, :] = jnp.zeros((2, RT))
 
 
-def _anyhit_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
+def _anyhit_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
                    loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
                    out_ref, occ_ref, stack_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -461,7 +524,7 @@ def _anyhit_kernel(max_steps, skip_ref, brick_ref, lox_ref, loy_ref,
         dma(slot, brick_id).wait()
 
         def chunk(k, o):
-            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
                           axis=0, keepdims=True)
@@ -550,9 +613,10 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
+                                             "woop"))
 def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
-         any_hit, interpret):
+         any_hit, interpret, woop=False):
     Rp = rays.shape[1]
     n_nodes = skip.shape[0]
     # hard bound: the ordered walk expands each inner node at most once;
@@ -578,7 +642,7 @@ def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
         ],
     )
     return pl.pallas_call(
-        functools.partial(kern, max_steps),
+        functools.partial(kern, max_steps, woop),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -602,14 +666,16 @@ def intersect_packet(ray, pbvh, any_hit=False, interpret=False):
     rays = rays.at[6, :R].set(ray.t_max)
 
     import os
+    woop = os.environ.get("VT_WOOP", "0") == "1"
     if pbvh.link8 is not None and os.environ.get("VT_KERNEL") != "v2":
         out = _run3(sg(pbvh.link8), sg(pbvh.aabb8), sg(pbvh.tri), sg(rays),
-                    pbvh.n_nodes, pbvh.n_pad, pbvh.shift, any_hit, interpret)
+                    pbvh.n_nodes, pbvh.n_pad, pbvh.shift, any_hit, interpret,
+                    woop=woop)
     else:
         out = _run(sg(pbvh.skip), sg(pbvh.brick), sg(pbvh.lo_x),
                    sg(pbvh.lo_y), sg(pbvh.lo_z), sg(pbvh.hi_x),
                    sg(pbvh.hi_y), sg(pbvh.hi_z), sg(pbvh.tri), sg(rays),
-                   any_hit, interpret)
+                   any_hit, interpret, woop=woop)
 
     if any_hit:
         return Hit(t=ray.t_max, prim_id=jnp.where(out[0, :R] > 0.5, 0, -1),
@@ -765,6 +831,7 @@ def build_instanced_pbvh(meshes, instances, brick=BRICK):
             tri[valid, 0:3] = sp0[src[valid]]
             tri[valid, 3:6] = sp1[src[valid]] - sp0[src[valid]]
             tri[valid, 6:9] = sp2[src[valid]] - sp0[src[valid]]
+            _fill_woop(tri, valid, sp0, sp1, sp2, src[valid])
             po[valid] = tri_bases[mi] + order[src[valid]]
         tris.append(tri)
         prim_orders.append(po)
@@ -791,7 +858,7 @@ def build_instanced_pbvh(meshes, instances, brick=BRICK):
         n_nodes=int(len(skip)), n_inst=n_inst)
 
 
-def _inst_closest_kernel(max_steps, n_nodes, skip_ref, brick_ref, lox_ref,
+def _inst_closest_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
                          loy_ref,
                          loz_ref, hix_ref, hiy_ref, hiz_ref, root_ref,
                          xf_ref, rays_ref, tris_ref, out_ref, best_ref,
@@ -863,7 +930,7 @@ def _inst_closest_kernel(max_steps, n_nodes, skip_ref, brick_ref, lox_ref,
 
         def chunk(k, carry):
             bt_, bi_, bu_, bv_, bn_ = carry
-            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             t = jnp.where(ok, t, _BIG)
             tmin = jnp.min(t, axis=0, keepdims=True)
@@ -996,7 +1063,7 @@ def _inst_closest_kernel(max_steps, n_nodes, skip_ref, brick_ref, lox_ref,
     out_ref[7:8, :] = jnp.zeros((1, RT))
 
 
-def _inst_anyhit_kernel(max_steps, n_nodes, skip_ref, brick_ref, lox_ref,
+def _inst_anyhit_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
                         loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                         root_ref, xf_ref, rays_ref, tris_ref, out_ref,
                         occ_ref, nstk_ref, istk_ref, cur_ref, tri_scr, sem):
@@ -1054,7 +1121,7 @@ def _inst_anyhit_kernel(max_steps, n_nodes, skip_ref, brick_ref, lox_ref,
         ox, oy, oz, dx, dy, dz, _, _, _ = rows()
 
         def chunk(k, o):
-            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
                           axis=0, keepdims=True)
@@ -1170,9 +1237,10 @@ def _inst_anyhit_kernel(max_steps, n_nodes, skip_ref, brick_ref, lox_ref,
     out_ref[7:8, :] = jnp.zeros((1, RT))
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
+                                             "woop"))
 def _run_inst(skip, brick, lox, loy, loz, hix, hiy, hiz, root, xf, tri,
-              rays, any_hit, interpret):
+              rays, any_hit, interpret, woop=False):
     Rp = rays.shape[1]
     n_nodes = skip.shape[0]
     # each inner node expands once; instance entries add one step each;
@@ -1199,7 +1267,7 @@ def _run_inst(skip, brick, lox, loy, loz, hix, hiy, hiz, root, xf, tri,
         ],
     )
     return pl.pallas_call(
-        functools.partial(kern, max_steps, n_nodes),
+        functools.partial(kern, max_steps, n_nodes, woop),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1218,10 +1286,12 @@ def intersect_packet_inst(ray, ip, any_hit=False, interpret=False):
     rays = rays.at[3:6, :R].set(ray.direction.T)
     rays = rays.at[6, :R].set(ray.t_max)
 
+    import os
     out = _run_inst(sg(ip.skip), sg(ip.brick), sg(ip.lo_x), sg(ip.lo_y),
                     sg(ip.lo_z), sg(ip.hi_x), sg(ip.hi_y), sg(ip.hi_z),
                     sg(ip.inst_root), sg(ip.inst_w2o), sg(ip.tri), sg(rays),
-                    any_hit, interpret)
+                    any_hit, interpret,
+                    woop=os.environ.get("VT_WOOP", "0") == "1")
 
     if any_hit:
         hit = Hit(t=ray.t_max, prim_id=jnp.where(out[0, :R] > 0.5, 0, -1),
@@ -1250,7 +1320,7 @@ def intersect_packet_inst(ray, ip, any_hit=False, interpret=False):
 # once per block (octant-selected), so window loads are cheap vector
 # reads; only the link array stays in SMEM.
 
-def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, link_ref,
+def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, woop, link_ref,
                  rays_ref, aabb_ref, tris_ref, out_ref, best_ref, node_scr,
                  tri_scr, sem, sem_n):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -1286,7 +1356,7 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, link_ref,
         dma(slot, brick_id).wait()
         if any_hit:
             def chunk(k, o):
-                t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+                t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
                                        ox, oy, oz, dx, dy, dz)
                 hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
                               axis=0, keepdims=True)
@@ -1302,7 +1372,7 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, link_ref,
 
         def chunk(k, carry):
             bt_, bi_, bu_, bv_ = carry
-            t, u, v, ok = _mt_rows(tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             t = jnp.where(ok, t, _BIG)
             tmin = jnp.min(t, axis=0, keepdims=True)
@@ -1419,9 +1489,10 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, link_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_real", "n_pad", "shift",
-                                             "any_hit", "interpret"))
+                                             "any_hit", "interpret",
+                                             "woop"))
 def _run3(link8, aabb8, tri, rays, n_real, n_pad, shift, any_hit,
-          interpret):
+          interpret, woop=False):
     Rp = rays.shape[1]
     # every preorder node is visited at most once; each window resolves
     # >= 1 node
@@ -1447,7 +1518,7 @@ def _run3(link8, aabb8, tri, rays, n_real, n_pad, shift, any_hit,
     )
     return pl.pallas_call(
         functools.partial(_win_kernel3, max_steps, n_real, n_pad, shift,
-                          any_hit),
+                          any_hit, woop),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

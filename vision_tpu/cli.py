@@ -81,14 +81,20 @@ def main(argv=None):
               f"{scene.data.lights.n_lights} lights "
               f"({time.time() - t0:.2f}s)")
 
-    if args.pipeline == "bake":
+    pipeline = args.pipeline
+    if pipeline is None:
+        # scene files may declare their pipeline plugin (reference
+        # PipelineDesc); 'customized' is the render-graph pipeline
+        pt_ = getattr(scene, "pipeline_type", "fixed")
+        pipeline = {"bake": "bake", "customized": "graph"}.get(pt_)
+    if pipeline == "bake":
         from .pipelines.bake import bake_scene, render_baked
         baked = bake_scene(scene.data, lightmap_res=256,
                            spp=args.spp or 16)
         hdr = render_baked(scene.data, scene.camera, baked)
         import numpy as _np
         hdr = _np.asarray(hdr)
-    elif args.pipeline == "realtime":
+    elif pipeline == "realtime":
         from .integrator import realtime as rt
         import numpy as _np
         state = rt.RealTimeState.initial(scene.camera.resolution)
@@ -99,7 +105,7 @@ def main(argv=None):
             w = 1.0 / (i + 1)
             acc = img if acc is None else acc * (1 - w) + img * w
         hdr = _np.asarray(acc)
-    elif args.pipeline == "graph":
+    elif pipeline == "graph":
         from .pipelines.graph import default_graph
         import jax.numpy as jnp
         import numpy as _np

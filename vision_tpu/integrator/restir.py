@@ -140,11 +140,13 @@ def restir_di(scene, gb, state, prev=None, frame_index=0, m_light=8,
     state, res, (params, wo_l, frame) = initial_candidates(
         scene, gb, state, m_light)
 
-    # visibility for the initial winner (direct.cpp checks before reuse)
+    # visibility for the initial winner (direct.cpp checks before reuse);
+    # lanes with no surface or no winner skip the trace (packet-path
+    # dead-lane compaction)
     wi = normalize(res.p_light - gb.pos)
     ray = Ray.make(pt.spawn_origin(gb.pos, gb.normal, wi), wi,
                    t_max=res.dist * (1.0 - 1e-3))
-    occ = pt.trace_occluded(scene, ray)
+    occ = pt.trace_occluded(scene, ray, act=gb.valid & (res.W > 0.0))
     res = res.replace(W=jnp.where(occ, 0.0, res.W))
 
     # temporal reuse
@@ -188,7 +190,7 @@ def restir_di(scene, gb, state, prev=None, frame_index=0, m_light=8,
     wi = normalize(res.p_light - gb.pos)
     ray = Ray.make(pt.spawn_origin(gb.pos, gb.normal, wi), wi,
                    t_max=res.dist * (1.0 - 1e-3))
-    occ = pt.trace_occluded(scene, ray)
+    occ = pt.trace_occluded(scene, ray, act=gb.valid & (res.W > 0.0))
     t, b, ns = frame
     wi_l = to_local(t, b, ns, wi)
     ev = ub.evaluate(params, wo_l, wi_l)

@@ -185,7 +185,7 @@ def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
     dist = jnp.linalg.norm(res.x_s - gb.pos, axis=-1)
     ray = Ray.make(pt.spawn_origin(gb.pos, gb.normal, wi), wi,
                    t_max=dist * (1.0 - 1e-3))
-    occ = pt.trace_occluded(scene, ray)
+    occ = pt.trace_occluded(scene, ray, act=gb.valid & (res.W > 0.0))
     t, b, ns = frame
     wi_l = to_local(t, b, ns, wi)
     ev = ub.evaluate(params, wo_l, wi_l)

@@ -263,6 +263,9 @@ class Scene:
         # light_field}.cpp): light_field renders an S x S sub-aperture grid
         self.framebuffer_type = fb.get("type", "normal")
         self.lf_grid = int(fb.get("param", {}).get("grid", 3))
+        # pipeline plugin choice (pipelines/{fixed,customized,bake}) — the
+        # CLI's -p overrides; render() consumes framebuffer_type directly
+        self.pipeline_type = raw.get("pipeline", {}).get("type", "fixed")
         self.camera = Camera.make(
             c2w, cp.as_float("fov_y", 20.0), self.resolution,
             lens_radius=cp.as_float("lens_radius", 0.0),
