@@ -61,6 +61,7 @@ _EPS = 1e-9
 _EDGE_EPS = 1e-6
 _BIG = 3e38
 RT = 1024       # rays per block (lanes)
+NODE_CAP = 24576  # max tree nodes (8 i32/f32 SMEM prefetch arrays each)
 # max triangles per leaf brick. The brick sweep is the dominant cost on
 # incoherent wavefronts (a block tests leaves x BRICK tris densely).
 # Measured on staircase (v5e): 32 wins the bare incoherent-closest
@@ -89,8 +90,11 @@ class PacketBVH:
     tri: jnp.ndarray         # [n_bricks*BRICK, 128] f32: p0 e1 e2 (cols 0-8;
                              # lane-padded to 128 so per-brick DMA slices are
                              # tile-aligned — Mosaic requires 128-lane slices)
-    prim_order: jnp.ndarray  # [n_bricks*BRICK] i32 original tri id (-1 pad)
+    prim_order: jnp.ndarray  # [n_bricks*bsize] i32 original tri id (-1 pad)
     n_nodes: int = struct.field(pytree_node=False)
+    # leaf capacity of THIS tree: grows past BRICK for huge meshes so the
+    # node arrays stay inside the SMEM scalar-prefetch budget
+    bsize: int = struct.field(pytree_node=False, default=BRICK)
     # windowed-walk layout (kernel v3): per direction-octant preorder with
     # near-child-first order baked in. link8[o*n_pad + j] packs
     # (skip << shift) | (brick + 4); aabb8 rows hold lo[3] hi[3] in
@@ -114,9 +118,16 @@ def build_packet_bvh(p0, p1, p2, brick=BRICK):
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
     n = len(p0)
-    r = native.build_bvh_native(p0, p1, p2, max_leaf=brick)
-    if r is None:
-        return None
+    # node arrays are scalar-prefetch (SMEM): huge meshes double the leaf
+    # capacity until the tree fits the budget (a 1M-tri kitchen at leaf 64
+    # is ~80k nodes = 2.6 MB of SMEM arrays -> compile failure)
+    while True:
+        r = native.build_bvh_native(p0, p1, p2, max_leaf=brick)
+        if r is None:
+            return None
+        if len(r["first"]) <= NODE_CAP or brick >= 1024:
+            break
+        brick *= 2
     first = r["first"].astype(np.int64)
     count = r["count"].astype(np.int64)
     order = r["order"].astype(np.int64)
@@ -161,6 +172,7 @@ def build_packet_bvh(p0, p1, p2, brick=BRICK):
         tri=jnp.asarray(tri),
         prim_order=jnp.asarray(prim_order, jnp.int32),
         n_nodes=int(n_nodes),
+        bsize=int(brick),
         link8=None if link8 is None else jnp.asarray(link8),
         aabb8=None if aabb8 is None else jnp.asarray(aabb8),
         n_pad=n_pad, shift=shift,
@@ -375,7 +387,7 @@ def _any2(mask2):
     return red[0, 0] > 0.5, red[1, 0] > 0.5
 
 
-def _closest_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
+def _closest_kernel(max_steps, bs, woop, skip_ref, brick_ref, lox_ref, loy_ref,
                     loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
                     out_ref, best_ref, stack_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -390,9 +402,9 @@ def _closest_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
 
     def dma(slot, brick_id):
         return pltpu.make_async_copy(
-            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
-                              BRICK), :],
-            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * bs, bs),
+                              bs), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * bs, bs), bs), :],
             sem.at[slot])
 
     def sweep(slot, brick_id):
@@ -404,12 +416,12 @@ def _closest_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
 
         def chunk(k, carry):
             bt_, bi_, bu_, bv_ = carry
-            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * bs + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             t = jnp.where(ok, t, _BIG)
             tmin = jnp.min(t, axis=0, keepdims=True)
             gid = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                   + (brick_id * BRICK + k * TSUB)).astype(jnp.float32)
+                   + (brick_id * bs + k * TSUB)).astype(jnp.float32)
             imin = jnp.min(jnp.where(t == tmin, gid, _BIG), axis=0,
                            keepdims=True)
             sel = (t == tmin) & (gid == imin)
@@ -422,7 +434,7 @@ def _closest_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
                     jnp.where(better, vsel, bv_))
 
         c0, c1, c2, c3 = jax.lax.fori_loop(
-            0, BRICK // TSUB, chunk, (c0, c1, c2, c3))
+            0, bs // TSUB, chunk, (c0, c1, c2, c3))
         best_ref[0:1, :] = c0
         best_ref[1:2, :] = c1
         best_ref[2:3, :] = c2
@@ -502,7 +514,7 @@ def _closest_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
     out_ref[6:8, :] = jnp.zeros((2, RT))
 
 
-def _anyhit_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
+def _anyhit_kernel(max_steps, bs, woop, skip_ref, brick_ref, lox_ref, loy_ref,
                    loz_ref, hix_ref, hiy_ref, hiz_ref, rays_ref, tris_ref,
                    out_ref, occ_ref, stack_ref, tri_scr, sem):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -515,23 +527,23 @@ def _anyhit_kernel(max_steps, woop, skip_ref, brick_ref, lox_ref, loy_ref,
 
     def dma(slot, brick_id):
         return pltpu.make_async_copy(
-            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
-                              BRICK), :],
-            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * bs, bs),
+                              bs), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * bs, bs), bs), :],
             sem.at[slot])
 
     def sweep(slot, brick_id):
         dma(slot, brick_id).wait()
 
         def chunk(k, o):
-            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * bs + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
                           axis=0, keepdims=True)
             return jnp.maximum(o, hit)
 
         occ_ref[0:1, :] = jax.lax.fori_loop(
-            0, BRICK // TSUB, chunk, occ_ref[0:1, :])
+            0, bs // TSUB, chunk, occ_ref[0:1, :])
 
     def enqueue(cond, brick_id, pend, buf, leaves):
         @pl.when(cond)
@@ -614,9 +626,9 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
-                                             "woop"))
+                                             "woop", "bs"))
 def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
-         any_hit, interpret, woop=False):
+         any_hit, interpret, woop=False, bs=BRICK):
     Rp = rays.shape[1]
     n_nodes = skip.shape[0]
     # hard bound: the ordered walk expands each inner node at most once;
@@ -637,12 +649,12 @@ def _run(skip, brick, lox, loy, loz, hix, hiy, hiz, tri, rays,
         scratch_shapes=[
             pltpu.VMEM((8, RT), jnp.float32),
             pltpu.SMEM((STACK,), jnp.int32),
-            pltpu.VMEM((2 * BRICK, 128), jnp.float32),
+            pltpu.VMEM((2 * bs, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(kern, max_steps, woop),
+        functools.partial(kern, max_steps, bs, woop),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -670,12 +682,12 @@ def intersect_packet(ray, pbvh, any_hit=False, interpret=False):
     if pbvh.link8 is not None and os.environ.get("VT_KERNEL") != "v2":
         out = _run3(sg(pbvh.link8), sg(pbvh.aabb8), sg(pbvh.tri), sg(rays),
                     pbvh.n_nodes, pbvh.n_pad, pbvh.shift, any_hit, interpret,
-                    woop=woop)
+                    woop=woop, bs=pbvh.bsize)
     else:
         out = _run(sg(pbvh.skip), sg(pbvh.brick), sg(pbvh.lo_x),
                    sg(pbvh.lo_y), sg(pbvh.lo_z), sg(pbvh.hi_x),
                    sg(pbvh.hi_y), sg(pbvh.hi_z), sg(pbvh.tri), sg(rays),
-                   any_hit, interpret, woop=woop)
+                   any_hit, interpret, woop=woop, bs=pbvh.bsize)
 
     if any_hit:
         return Hit(t=ray.t_max, prim_id=jnp.where(out[0, :R] > 0.5, 0, -1),
@@ -720,9 +732,10 @@ class InstancedPBVH:
     inst_root: jnp.ndarray   # [I] i32 BLAS root node of instance's mesh
     inst_w2o: jnp.ndarray    # [I*12] f32 rows [m00 m01 m02 t0 | m10.. | m20..]
     tri: jnp.ndarray         # [total_bricks*BRICK, 128] f32 (object space)
-    prim_order: jnp.ndarray  # [total_bricks*BRICK] i32 global OBJECT tri id
+    prim_order: jnp.ndarray  # [total_bricks*bsize] i32 global OBJECT tri id
     n_nodes: int = struct.field(pytree_node=False)
     n_inst: int = struct.field(pytree_node=False)
+    bsize: int = struct.field(pytree_node=False, default=BRICK)
 
 
 def build_instanced_pbvh(meshes, instances, brick=BRICK):
@@ -734,20 +747,26 @@ def build_instanced_pbvh(meshes, instances, brick=BRICK):
     if not native.available() or not instances:
         return None
 
-    # --- BLAS per unique mesh ---
-    blas = []
-    tri_bases = []
-    tri_base = 0
-    for (p0, p1, p2) in meshes:
-        r = native.build_bvh_native(np.asarray(p0, np.float32),
-                                    np.asarray(p1, np.float32),
-                                    np.asarray(p2, np.float32),
-                                    max_leaf=brick)
-        if r is None:
-            return None
-        blas.append(r)
-        tri_bases.append(tri_base)
-        tri_base += len(p0)
+    # --- BLAS per unique mesh (shared leaf capacity; grown until the
+    # concatenated node arrays fit the SMEM budget) ---
+    while True:
+        blas = []
+        tri_bases = []
+        tri_base = 0
+        for (p0, p1, p2) in meshes:
+            r = native.build_bvh_native(np.asarray(p0, np.float32),
+                                        np.asarray(p1, np.float32),
+                                        np.asarray(p2, np.float32),
+                                        max_leaf=brick)
+            if r is None:
+                return None
+            blas.append(r)
+            tri_bases.append(tri_base)
+            tri_base += len(p0)
+        total_nodes = sum(len(r["first"]) for r in blas)
+        if total_nodes <= NODE_CAP or brick >= 1024:
+            break
+        brick *= 2
 
     # --- instance world AABBs (transform the 8 corners of the BLAS root) ---
     n_inst = len(instances)
@@ -855,10 +874,10 @@ def build_instanced_pbvh(meshes, instances, brick=BRICK):
         inst_w2o=jnp.asarray(w2o_flat.reshape(-1)),
         tri=jnp.asarray(np.concatenate(tris, 0)),
         prim_order=jnp.asarray(np.concatenate(prim_orders).astype(np.int32)),
-        n_nodes=int(len(skip)), n_inst=n_inst)
+        n_nodes=int(len(skip)), n_inst=n_inst, bsize=int(brick))
 
 
-def _inst_closest_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
+def _inst_closest_kernel(max_steps, n_nodes, bs, woop, skip_ref, brick_ref, lox_ref,
                          loy_ref,
                          loz_ref, hix_ref, hiy_ref, hiz_ref, root_ref,
                          xf_ref, rays_ref, tris_ref, out_ref, best_ref,
@@ -913,9 +932,9 @@ def _inst_closest_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
 
     def dma(slot, brick_id):
         return pltpu.make_async_copy(
-            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
-                              BRICK), :],
-            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * bs, bs),
+                              bs), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * bs, bs), bs), :],
             sem.at[slot])
 
     def sweep(slot, brick_id, inst):
@@ -930,12 +949,12 @@ def _inst_closest_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
 
         def chunk(k, carry):
             bt_, bi_, bu_, bv_, bn_ = carry
-            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * bs + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             t = jnp.where(ok, t, _BIG)
             tmin = jnp.min(t, axis=0, keepdims=True)
             gid = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                   + (brick_id * BRICK + k * TSUB)).astype(jnp.float32)
+                   + (brick_id * bs + k * TSUB)).astype(jnp.float32)
             imin = jnp.min(jnp.where(t == tmin, gid, _BIG), axis=0,
                            keepdims=True)
             sel = (t == tmin) & (gid == imin)
@@ -949,7 +968,7 @@ def _inst_closest_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
                     jnp.where(better, inst_f, bn_))
 
         c0, c1, c2, c3, c4 = jax.lax.fori_loop(
-            0, BRICK // TSUB, chunk, (c0, c1, c2, c3, c4))
+            0, bs // TSUB, chunk, (c0, c1, c2, c3, c4))
         best_ref[0:1, :] = c0
         best_ref[1:2, :] = c1
         best_ref[2:3, :] = c2
@@ -1063,7 +1082,7 @@ def _inst_closest_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
     out_ref[7:8, :] = jnp.zeros((1, RT))
 
 
-def _inst_anyhit_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
+def _inst_anyhit_kernel(max_steps, n_nodes, bs, woop, skip_ref, brick_ref, lox_ref,
                         loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                         root_ref, xf_ref, rays_ref, tris_ref, out_ref,
                         occ_ref, nstk_ref, istk_ref, cur_ref, tri_scr, sem):
@@ -1111,9 +1130,9 @@ def _inst_anyhit_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
 
     def dma(slot, brick_id):
         return pltpu.make_async_copy(
-            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
-                              BRICK), :],
-            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * bs, bs),
+                              bs), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * bs, bs), bs), :],
             sem.at[slot])
 
     def sweep(slot, brick_id):
@@ -1121,14 +1140,14 @@ def _inst_anyhit_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
         ox, oy, oz, dx, dy, dz, _, _, _ = rows()
 
         def chunk(k, o):
-            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * bs + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
                           axis=0, keepdims=True)
             return jnp.maximum(o, hit)
 
         occ_ref[0:1, :] = jax.lax.fori_loop(
-            0, BRICK // TSUB, chunk, occ_ref[0:1, :])
+            0, bs // TSUB, chunk, occ_ref[0:1, :])
 
     def enqueue(cond, brick_id, pend, buf, leaves):
         @pl.when(cond)
@@ -1238,9 +1257,9 @@ def _inst_anyhit_kernel(max_steps, n_nodes, woop, skip_ref, brick_ref, lox_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
-                                             "woop"))
+                                             "woop", "bs"))
 def _run_inst(skip, brick, lox, loy, loz, hix, hiy, hiz, root, xf, tri,
-              rays, any_hit, interpret, woop=False):
+              rays, any_hit, interpret, woop=False, bs=BRICK):
     Rp = rays.shape[1]
     n_nodes = skip.shape[0]
     # each inner node expands once; instance entries add one step each;
@@ -1262,12 +1281,12 @@ def _run_inst(skip, brick, lox, loy, loz, hix, hiy, hiz, root, xf, tri,
             pltpu.SMEM((STACK,), jnp.int32),
             pltpu.SMEM((STACK,), jnp.int32),
             pltpu.VMEM((10, RT), jnp.float32),
-            pltpu.VMEM((2 * BRICK, 128), jnp.float32),
+            pltpu.VMEM((2 * bs, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(kern, max_steps, n_nodes, woop),
+        functools.partial(kern, max_steps, n_nodes, bs, woop),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1291,7 +1310,8 @@ def intersect_packet_inst(ray, ip, any_hit=False, interpret=False):
                     sg(ip.lo_z), sg(ip.hi_x), sg(ip.hi_y), sg(ip.hi_z),
                     sg(ip.inst_root), sg(ip.inst_w2o), sg(ip.tri), sg(rays),
                     any_hit, interpret,
-                    woop=os.environ.get("VT_WOOP", "0") == "1")
+                    woop=os.environ.get("VT_WOOP", "0") == "1",
+                    bs=ip.bsize)
 
     if any_hit:
         hit = Hit(t=ray.t_max, prim_id=jnp.where(out[0, :R] > 0.5, 0, -1),
@@ -1320,7 +1340,7 @@ def intersect_packet_inst(ray, ip, any_hit=False, interpret=False):
 # once per block (octant-selected), so window loads are cheap vector
 # reads; only the link array stays in SMEM.
 
-def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, woop, link_ref,
+def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, bs, woop, link_ref,
                  rays_ref, aabb_ref, tris_ref, out_ref, best_ref, node_scr,
                  tri_scr, sem, sem_n):
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = _ray_rows(rays_ref)
@@ -1347,23 +1367,23 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, woop, link_ref,
 
     def dma(slot, brick_id):
         return pltpu.make_async_copy(
-            tris_ref.at[pl.ds(pl.multiple_of(brick_id * BRICK, BRICK),
-                              BRICK), :],
-            tri_scr.at[pl.ds(pl.multiple_of(slot * BRICK, BRICK), BRICK), :],
+            tris_ref.at[pl.ds(pl.multiple_of(brick_id * bs, bs),
+                              bs), :],
+            tri_scr.at[pl.ds(pl.multiple_of(slot * bs, bs), bs), :],
             sem.at[slot])
 
     def sweep(slot, brick_id):
         dma(slot, brick_id).wait()
         if any_hit:
             def chunk(k, o):
-                t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
+                t, u, v, ok = _isect_chunk(woop, tri_scr, slot * bs + k * TSUB,
                                        ox, oy, oz, dx, dy, dz)
                 hit = jnp.max(jnp.where(ok & (t < tmax), 1.0, 0.0),
                               axis=0, keepdims=True)
                 return jnp.maximum(o, hit)
 
             best_ref[0:1, :] = jax.lax.fori_loop(
-                0, BRICK // TSUB, chunk, best_ref[0:1, :])
+                0, bs // TSUB, chunk, best_ref[0:1, :])
             return
         c0 = best_ref[0:1, :]
         c1 = best_ref[1:2, :]
@@ -1372,12 +1392,12 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, woop, link_ref,
 
         def chunk(k, carry):
             bt_, bi_, bu_, bv_ = carry
-            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * BRICK + k * TSUB,
+            t, u, v, ok = _isect_chunk(woop, tri_scr, slot * bs + k * TSUB,
                                    ox, oy, oz, dx, dy, dz)
             t = jnp.where(ok, t, _BIG)
             tmin = jnp.min(t, axis=0, keepdims=True)
             gid = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                   + (brick_id * BRICK + k * TSUB)).astype(jnp.float32)
+                   + (brick_id * bs + k * TSUB)).astype(jnp.float32)
             imin = jnp.min(jnp.where(t == tmin, gid, _BIG), axis=0,
                            keepdims=True)
             sel = (t == tmin) & (gid == imin)
@@ -1390,7 +1410,7 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, woop, link_ref,
                     jnp.where(better, vsel, bv_))
 
         c0, c1, c2, c3 = jax.lax.fori_loop(
-            0, BRICK // TSUB, chunk, (c0, c1, c2, c3))
+            0, bs // TSUB, chunk, (c0, c1, c2, c3))
         best_ref[0:1, :] = c0
         best_ref[1:2, :] = c1
         best_ref[2:3, :] = c2
@@ -1490,9 +1510,9 @@ def _win_kernel3(max_steps, n_real, n_pad, shift, any_hit, woop, link_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_real", "n_pad", "shift",
                                              "any_hit", "interpret",
-                                             "woop"))
+                                             "woop", "bs"))
 def _run3(link8, aabb8, tri, rays, n_real, n_pad, shift, any_hit,
-          interpret, woop=False):
+          interpret, woop=False, bs=BRICK):
     Rp = rays.shape[1]
     # every preorder node is visited at most once; each window resolves
     # >= 1 node
@@ -1511,14 +1531,14 @@ def _run3(link8, aabb8, tri, rays, n_real, n_pad, shift, any_hit,
         scratch_shapes=[
             pltpu.VMEM((8, RT), jnp.float32),
             pltpu.VMEM((n_pad, 128), jnp.float32),
-            pltpu.VMEM((2 * BRICK, 128), jnp.float32),
+            pltpu.VMEM((2 * bs, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         functools.partial(_win_kernel3, max_steps, n_real, n_pad, shift,
-                          any_hit, woop),
+                          any_hit, bs, woop),
         out_shape=jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
