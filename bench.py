@@ -12,6 +12,7 @@ round-1 first measurement); `extra` carries the other rungs:
   - cbox_256_d4_grad_mrays: forward+backward (inverse-rendering grad step);
     rays counted are forward-traced rays, time includes the backward sweep
   - staircase_grad_mrays:   the same fwd+bwd metric on a BVH scene
+  - kitchen_1M_mrays:       million-triangle scene (adaptive-leaf bricks)
   - classroom_rt_ms:        one real-time frame (ReSTIR DI+GI + SHARC +
     SVGF) on classroom 512^2 (BASELINE config 5)
 
@@ -222,6 +223,22 @@ def bench_staircase_grad():
     return nrays / (time.perf_counter() - t0) / 1e6
 
 
+def bench_kitchen():
+    """Million-triangle scene (kitchen, 1.05M tris): full PT through the
+    adaptive-leaf packet BVH (bsize grows to keep node arrays in SMEM)."""
+    from vision_tpu.scene.scene import Scene
+    path = os.path.join(REF, "kitchen/vision_scene.json")
+    if not os.path.exists(path):
+        return None
+    sc = Scene(path)
+    sc.raw["camera"]["param"]["radiance_collector"]["param"][
+        "resolution"] = [RES, RES]
+    sc = Scene(sc.raw, scene_dir=sc.scene_dir)
+    if sc.data.pbvh is None:
+        return None
+    return _wave_metric(sc, spp=1, depth=3, warmup=1, iters=2)
+
+
 def bench_classroom_rt():
     """Real-time integrator frame time on classroom 512^2 (BASELINE config
     5: ReSTIR DI + GI + SHARC + SVGF)."""
@@ -265,6 +282,7 @@ def main():
                      ("prism_hero_256_mrays", bench_prism),
                      ("cbox_256_d4_grad_mrays", bench_grad),
                      ("staircase_grad_mrays", bench_staircase_grad),
+                     ("kitchen_1M_mrays", bench_kitchen),
                      ("classroom_rt_ms", bench_classroom_rt)]:
         try:
             v = fn()
