@@ -108,3 +108,37 @@ def test_emissive_meshes_stay_in_residual():
                                              "scale": 2.0}}
     sc = Scene(s, scene_dir=os.path.dirname(__file__))
     assert sc.data.ipbvh is None  # nothing left to dedup
+
+
+def test_expansion_fallback_matches_instanced(monkeypatch):
+    """When the native builder is unavailable, dedup instances must
+    materialize back into the flat soup with identical geometry and
+    light-table numbering (scene._expand_instances_into_soup)."""
+    import vision_tpu.scene.scene as scene_mod
+
+    s = _instanced_scene(n=3, rotate=True)
+    sc_i = Scene(s, scene_dir=os.path.dirname(__file__))
+    assert sc_i.data.ipbvh is not None
+
+    monkeypatch.setattr(scene_mod.Scene, "_build_instanced",
+                        lambda self: None)
+    sc_f = Scene(s, scene_dir=os.path.dirname(__file__))
+    assert sc_f.data.ipbvh is None
+
+    # flat-reference build for comparison
+    os.environ["VT_INSTANCING"] = "0"
+    try:
+        sc_r = Scene(s, scene_dir=os.path.dirname(__file__))
+    finally:
+        os.environ.pop("VT_INSTANCING")
+
+    # same triangles (order may differ: [dedup][residual] vs scene order)
+    a = np.sort(np.asarray(sc_f.data.tri_p0), axis=0)
+    b = np.sort(np.asarray(sc_r.data.tri_p0), axis=0)
+    assert a.shape == b.shape
+    assert np.allclose(a, b, atol=1e-5)
+    # light table intact (area light tri ids must hit emissive world tris)
+    lt = sc_f.data.lights
+    tb = int(np.asarray(lt.tri_base)[0])
+    row = np.asarray(sc_f.data.tri_pack)[tb]
+    assert row[26] >= 0  # light id present on the referenced triangle

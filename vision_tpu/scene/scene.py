@@ -555,38 +555,42 @@ class Scene:
         (dedup meshes keep their slots, transformed per FIRST instance;
         extra instances append)."""
         t = self.tri_arrays
-        parts = []
-        # keep numbering: dedup meshes first -- emit each mesh's tris once
-        # per instance; the FIRST instance of each mesh occupies the mesh's
-        # dedup slot range so light tri ids stay valid
+        # numbering must stay [dedup mesh slots][residual]: the FIRST
+        # instance of each mesh fills the mesh's dedup slot range (so
+        # object-tri ids stay valid), EXTRA instances append AFTER the
+        # residual (light tri_base offsets reference residual positions
+        # at dedup_total + offset and must not shift)
         first_done = set()
         firsts, extras = [], []
         for (mi, m, sid) in self._dedup_instances:
             (firsts if mi not in first_done else extras).append((mi, m, sid))
             first_done.add(mi)
         firsts.sort(key=lambda x: x[0])
-        for (mi, m, sid) in firsts + extras:
-            world = self._dedup_meshes[mi].transformed(m)
-            parts.append((world, sid))
-        # prepend: dedup slots come BEFORE the residual
-        pre = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2",
-                               "uv0", "uv1", "uv2", "inst")}
-        for world, sid in parts:
-            tr = world.triangles
-            P = world.positions
-            p0, p1, p2 = P[tr[:, 0]], P[tr[:, 1]], P[tr[:, 2]]
-            pre["p0"].append(p0)
-            pre["e1"].append(p1 - p0)
-            pre["e2"].append(p2 - p0)
-            pre["n0"].append(world.normals[tr[:, 0]])
-            pre["n1"].append(world.normals[tr[:, 1]])
-            pre["n2"].append(world.normals[tr[:, 2]])
-            pre["uv0"].append(world.uvs[tr[:, 0]])
-            pre["uv1"].append(world.uvs[tr[:, 1]])
-            pre["uv2"].append(world.uvs[tr[:, 2]])
-            pre["inst"].append(np.full(len(tr), sid, np.int32))
+
+        def emit(insts):
+            cols = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2",
+                                    "uv0", "uv1", "uv2", "inst")}
+            for (mi, m, sid) in insts:
+                world = self._dedup_meshes[mi].transformed(m)
+                tr = world.triangles
+                P = world.positions
+                p0, p1, p2 = P[tr[:, 0]], P[tr[:, 1]], P[tr[:, 2]]
+                cols["p0"].append(p0)
+                cols["e1"].append(p1 - p0)
+                cols["e2"].append(p2 - p0)
+                cols["n0"].append(world.normals[tr[:, 0]])
+                cols["n1"].append(world.normals[tr[:, 1]])
+                cols["n2"].append(world.normals[tr[:, 2]])
+                cols["uv0"].append(world.uvs[tr[:, 0]])
+                cols["uv1"].append(world.uvs[tr[:, 1]])
+                cols["uv2"].append(world.uvs[tr[:, 2]])
+                cols["inst"].append(np.full(len(tr), sid, np.int32))
+            return cols
+
+        pre = emit(firsts)
+        post = emit(extras)
         for k in pre:
-            arrs = pre[k] + ([t[k]] if len(t[k]) else [])
+            arrs = pre[k] + ([t[k]] if len(t[k]) else []) + post[k]
             self.tri_arrays[k] = (np.concatenate(arrs, 0)
                                   if arrs else t[k])
         self._dedup_meshes = []
