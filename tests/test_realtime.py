@@ -157,3 +157,41 @@ class TestRealtimeLoop:
             means_off.append(float(np.asarray(img).mean()))
         a, b = means_on[-1], means_off[-1]
         assert 0.5 < a / max(b, 1e-9) < 2.0, (a, b)
+
+
+def test_half_res_gi_upsampled():
+    """gi_scale=0.5: GI renders on a quarter lattice and joint-bilaterally
+    upsamples against the full-res G-buffer (Upsampler plugin in its
+    production role). Must stay finite, converge near the full-res result,
+    and keep consistent state shapes across frames."""
+    import copy
+    import jax.numpy as jnp
+    from tests.fixtures import CBOX_JSON
+    from vision_tpu.scene.scene import Scene
+    from vision_tpu.integrator import realtime as rt
+
+    s = copy.deepcopy(CBOX_JSON)
+    s["camera"]["param"]["radiance_collector"]["param"][
+        "resolution"] = [32, 32]
+    sc = Scene(s)
+
+    def run(scale, frames=8):
+        st = rt.RealTimeState.initial((32, 32), gi_scale=scale)
+        acc = None
+        for i in range(frames):
+            img, st = rt.render_realtime(sc.data, sc.camera, st,
+                                         gi_scale=scale)
+            w = 1.0 / (i + 1)
+            acc = img if acc is None else acc * (1 - w) + img * w
+        return np.asarray(acc)
+
+    full = run(1.0)
+    half = run(0.5)
+    assert np.isfinite(half).all()
+    assert half.mean() > 0
+    # upsampled GI approximates the full-res frame. The residual bias is
+    # EDGE-PROPORTIONAL (bilateral bleed at GI texel boundaries): measured
+    # +34% at this tiny 32^2 fixture, +15% at 64^2, a few % at production
+    # resolutions — bound it loosely here, it exists to catch blowups
+    # (the pre-fix spatial-temporal feedback measured +500%)
+    assert abs(half.mean() - full.mean()) / full.mean() < 0.45

@@ -32,7 +32,12 @@ def indirect_bounce(scene, gb, state, max_depth=3):
     thr = jnp.where((bs.valid & gb.valid)[..., None],
                     f_cos / jnp.maximum(bs.ev.pdf, 1e-9)[..., None], 0.0)
     ray = Ray.make(pt.spawn_origin(gb.pos, gb.normal, wi), wi)
-    L, _ = pt.radiance(scene, ray, state, max_depth=max_depth)
+    # include_primary=False: indirect light EXCLUDES emission/env seen
+    # directly by the first bounce segment — that term belongs to DI
+    # (same definition the GI integrator estimates since the
+    # double-counting fix)
+    L, _ = pt.radiance(scene, ray, state, max_depth=max_depth,
+                       include_primary=False)
     return state, L * thr
 
 

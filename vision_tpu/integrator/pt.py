@@ -317,7 +317,7 @@ def spawn_origin(pos, ng, w, factor=1.0):
 
 
 def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
-            rr_threshold, depth, c):
+            rr_threshold, depth, c, include_primary=True):
     """One wavefront bounce: trace + shade + NEE + BSDF sample + RR.
 
     `depth` may be a scalar (fori bounce-major loop, `radiance`) or a
@@ -343,6 +343,11 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
                             spectrum, swl_c)
     env_pdf = lt.env_pdf_wi(scene.lights, c["d"])
     w_env = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], env_pdf))
+    if not include_primary:
+        # ReSTIR GI bounce paths: light seen DIRECTLY by the first segment
+        # is the DI integrator's estimand (indirect.cpp initial samples
+        # exclude it) — counting it here double-counts direct lighting
+        w_env = jnp.where(depth == 0, 0.0, w_env)
     L = L + jnp.where(miss[..., None], thr * env_L * w_env[..., None], 0.0)
 
     act = act & hit.is_hit
@@ -380,6 +385,8 @@ def _bounce(scene, spectrum, swl_proto, has_media, off_factor, min_depth,
                                  c["o"], pos, ng, uv, scene.atlas,
                                  spectrum, swl_c)
     w_hit = jnp.where(depth == 0, 1.0, warp.mis_weight(c["spdf"], l_pdf))
+    if not include_primary:
+        w_hit = jnp.where(depth == 0, 0.0, w_hit)
     hit_light = act_surface & (light_id >= 0)
     L = L + jnp.where(hit_light[..., None], thr * Le * w_hit[..., None], 0.0)
 
@@ -510,7 +517,7 @@ def _init_carry(scene, spectrum, ray, state, swl):
 
 
 def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
-             remat=False):
+             remat=False, include_primary=True):
     """Estimate L for a wavefront of rays. Returns (L [R, 3] linear sRGB,
     aovs dict). Spectral transport (hero wavelengths) happens internally when
     scene.spectrum is a hero model; the output is always converged to sRGB."""
@@ -523,7 +530,8 @@ def radiance(scene, ray, state, max_depth=16, min_depth=0, rr_threshold=1.0,
     carry = _init_carry(scene, spectrum, ray, state, swl)
 
     bounce = functools.partial(_bounce, scene, spectrum, swl, has_media,
-                               off_factor, min_depth, rr_threshold)
+                               off_factor, min_depth, rr_threshold,
+                               include_primary=include_primary)
     # rematerialize each bounce under AD: O(1) live wavefront instead of
     # O(depth) residuals (SURVEY.md §7: replay instead of tape)
     body = jax.checkpoint(bounce) if remat else bounce

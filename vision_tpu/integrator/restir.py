@@ -148,6 +148,7 @@ def restir_di(scene, gb, state, prev=None, frame_index=0, m_light=8,
                    t_max=res.dist * (1.0 - 1e-3))
     occ = pt.trace_occluded(scene, ray, act=gb.valid & (res.W > 0.0))
     res = res.replace(W=jnp.where(occ, 0.0, res.W))
+    res_persist = res
 
     # temporal reuse
     if prev is not None:
@@ -166,6 +167,11 @@ def restir_di(scene, gb, state, prev=None, frame_index=0, m_light=8,
         state, u = rng.next_1d(state)
         res = _merge(res, pr, gb, params, wo_l, frame, u)
         res = _finalize(res)
+
+    # persistent reservoir = TEMPORAL only (direct.cpp: shader0 owns the
+    # reservoir buffer; shader1's spatial merge is shade-only). Spatial
+    # feedback through temporal reuse compounds shared-history energy.
+    res_persist = res
 
     # spatial reuse (shader1)
     for k in range(spatial_taps):
@@ -198,4 +204,4 @@ def restir_di(scene, gb, state, prev=None, frame_index=0, m_light=8,
     L = f_cos * res.Le * res.W[..., None]
     L = jnp.where((gb.valid & jnp.logical_not(occ))[..., None], L, 0.0)
     L = L + gb.emission
-    return state, L, res
+    return state, L, res_persist

@@ -74,8 +74,12 @@ def initial_samples(scene, gb, state, bounce_depth=2, sharc=None,
                     gb.pos + wi * (2.0 * scene.world_radius))
     n_s = jnp.where(hit.is_hit[..., None], ns2, -wi)
 
-    # incident radiance from the sample point: continue the path
-    L_path, _ = pt.radiance(scene, ray, state, max_depth=bounce_depth)
+    # incident radiance from the sample point: continue the path. The
+    # FIRST segment's direct emission/env is excluded — that term is the
+    # DI integrator's estimand (counting it here double-counted direct
+    # light: measured +45% on the cbox steady state)
+    L_path, _ = pt.radiance(scene, ray, state, max_depth=bounce_depth,
+                            include_primary=False)
     L_s = L_path
     if sharc is not None:
         from ..caches import sharc as sh
@@ -145,6 +149,7 @@ def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
         scene, gb, state, bounce_depth, sharc=sharc, cam_pos=cam_pos,
         surfel=surfel)
 
+    res_persist = res
     if prev is not None:
         prev_res, prev_gb = prev
         pix = jnp.arange(n)
@@ -161,6 +166,13 @@ def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
         state, u = rng.next_1d(state)
         res = _merge(res, pr, prev_gb.pos[pidx], gb, params, wo_l, frame, u)
         res = _finalize(res)
+
+    # the PERSISTENT reservoir is the temporal one (reference indirect.cpp:
+    # shader0 writes the reservoir buffer, shader1's spatial merge is
+    # shade-only). Feeding spatially-merged reservoirs back through
+    # temporal reuse double-counts shared neighbor history and the energy
+    # compounds frame over frame (measured: 10x over 14 frames).
+    res_persist = res
 
     for _ in range(spatial_taps):
         state, u2 = rng.next_2d(state)
@@ -192,4 +204,4 @@ def restir_gi(scene, gb, state, prev=None, resolution=None, spatial_taps=2,
     f_cos = ev.f * jnp.abs(wi_l[..., 2])[..., None]
     L = f_cos * res.L_s * res.W[..., None]
     L = jnp.where((gb.valid & jnp.logical_not(occ))[..., None], L, 0.0)
-    return state, L, res, cache_samples
+    return state, L, res_persist, cache_samples
